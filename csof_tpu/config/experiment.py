@@ -1,0 +1,191 @@
+"""Per-experiment configuration (the reference's YAML layer, typed).
+
+The reference drives its flow/video models from a ~170-key YAML
+(ref: nnunet/video.yaml, parsed by nnunet/lib/training_utils.py:459-485 and
+consumed by `build_seg_flow_gaussian_model` at training_utils.py:1460-1535).
+Its combinatorics (25 forward variants x 45 dataloaders) collapse here into
+one typed config with a `model` discriminator covering the five BASELINE
+configs: unet2d, unet3d, raft, voxelmorph, segflow.
+
+Unknown YAML keys are rejected loudly (the reference silently ignored typos).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Literal
+
+import yaml
+
+ModelKind = Literal["unet2d", "unet3d", "raft", "voxelmorph", "segflow"]
+
+
+@dataclass
+class OptimConfig:
+    """Optimizer/schedule (ref: video.yaml optimizer/scheduler/initial_lr/...;
+    nnUNetTrainerV2 SGD+poly at ref: nnUNetTrainerV2.py:171,407)."""
+
+    optimizer: Literal["adamw", "sgd"] = "adamw"
+    scheduler: Literal["cosine", "poly", "constant"] = "cosine"
+    initial_lr: float = 1e-4
+    weight_decay: float = 1e-4
+    warmup_percent: float = 0.1
+    sgd_momentum: float = 0.99
+    nesterov: bool = True
+    poly_exponent: float = 0.9
+    eta_min: float = 1e-7
+    grad_clip_norm: float = 12.0  # ref: nnUNetTrainerV2.py:273, SegFlowGaussian.py:2226
+
+
+@dataclass
+class LossWeights:
+    """Flow-model loss weights (ref: video.yaml *_loss_weight keys; used by
+    compute_losses_backward at ref: SegFlowGaussian.py(trainer):1370-1460)."""
+
+    image_flow_global: float = 0.5      # NCC(warped, fixed)
+    regularization_xy: float = 1.0      # spatial flow-gradient^2
+    regularization_z: float = 0.0       # temporal flow-gradient^2
+    seg_registered: float = 0.0         # Dice(warp(seg_ED), seg_ES)
+    segmentation: float = 0.0           # supervised seg loss on labeled frames
+    cycle_flow: float = 0.0             # forward/backward flow cycle consistency
+    cycle_registered: float = 0.0
+    global_motion_forward: float = 0.01
+    raft_sequence_gamma: float = 0.8    # ref: nnMTLTrainerV2Raft.py:182
+
+
+@dataclass
+class SegFlowModelConfig:
+    """Joint seg+flow video model hyperparameters
+    (ref: video.yaml model keys; SegFlowGaussian model __init__ at
+    ref: nnunet/network_architecture/SegFlowGaussian.py:70-378)."""
+
+    in_encoder_dims: tuple[int, ...] = (6, 64, 128)
+    out_encoder_dims: tuple[int, ...] = (32, 64, 128)
+    d_model: int = 128
+    bottleneck_heads: int = 4
+    nb_layers: int = 1
+    dim_feedforward: int = 1024
+    norm: Literal["group", "batch", "instance"] = "group"
+    activation: str = "gelu"
+    conv_depth: tuple[int, ...] = (1, 1, 1)
+    # local correlation volume per skip level (ref: SegFlowGaussian.py:255-269)
+    corr_radius: tuple[int, ...] = (4, 4, 4)
+    corr_stride: tuple[int, ...] = (2, 1, 1)
+    use_cost_volume: bool = True
+    use_gru: bool = True
+    kernel_size: int = 3
+    pos_1d: Literal["sin", "learn"] = "sin"
+    backward_flow: bool = True
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class RaftModelConfig:
+    """RAFT (ref: torchvision raft_large pinned at
+    ref: nnunet/training/network_training/nnMTLTrainerV2Raft.py:97,104;
+    video.yaml raft_iters/radius)."""
+
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    feature_dim: int = 256
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class VoxelMorphModelConfig:
+    """Registration net (ref: nnunet/network_architecture/Optical_flow_model.py:72,
+    integration at ref: nnunet/network_architecture/integration.py:84-98)."""
+
+    enc_features: tuple[int, ...] = (16, 32, 32, 32)
+    dec_features: tuple[int, ...] = (32, 32, 32, 32, 32, 16, 16)
+    int_steps: int = 7
+    diffeomorphic: bool = True
+    dtype: str = "bfloat16"
+
+
+@dataclass
+class DataConfig:
+    """Video sampling / augmentation (ref: video.yaml video_length/crop/...,
+    sampling at ref: nnunet/training/dataloading/dataset_loading.py:6428-6452)."""
+
+    video_length: int = 6
+    batch_size: int = 1
+    image_size: int = 224
+    crop_size: int = 128
+    do_data_aug: bool = True
+    oversample_foreground_percent: float = 0.33  # ref: nnUNetTrainer default
+    num_workers: int = 4
+
+
+@dataclass
+class ExperimentConfig:
+    model: ModelKind = "segflow"
+    task: str = "Task027_ACDC"
+    fold: int = 0
+    max_num_epochs: int = 180           # ref: video.yaml max_num_epochs
+    num_batches_per_epoch: int = 250    # ref: network_trainer.py:109
+    num_val_batches_per_epoch: int = 50  # ref: network_trainer.py:110
+    deep_supervision: bool = True
+    seed: int = 12345
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    loss_weights: LossWeights = field(default_factory=LossWeights)
+    segflow: SegFlowModelConfig = field(default_factory=SegFlowModelConfig)
+    raft: RaftModelConfig = field(default_factory=RaftModelConfig)
+    voxelmorph: VoxelMorphModelConfig = field(default_factory=VoxelMorphModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    # parallelism: devices per mesh axis; -1 on `data` means "all remaining"
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+    def to_yaml(self, path: str | Path) -> None:
+        Path(path).write_text(yaml.safe_dump(dataclasses.asdict(self), sort_keys=False))
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "ExperimentConfig":
+        return _from_dict(cls, d)
+
+
+def _from_dict(cls, d: dict[str, Any]):
+    if not dataclasses.is_dataclass(cls):
+        return d
+    names = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(d) - set(names)
+    if unknown:
+        raise KeyError(f"unknown config keys for {cls.__name__}: {sorted(unknown)}")
+    kwargs = {}
+    for k, v in d.items():
+        f = names[k]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, str) and f.type in _NESTED
+        ):
+            sub = _NESTED[f.type] if isinstance(f.type, str) else f.type
+            kwargs[k] = _from_dict(sub, v) if isinstance(v, dict) else v
+        elif isinstance(v, list):
+            kwargs[k] = tuple(v)
+        else:
+            kwargs[k] = v
+    return cls(**kwargs)
+
+
+_NESTED = {
+    "OptimConfig": OptimConfig,
+    "LossWeights": LossWeights,
+    "SegFlowModelConfig": SegFlowModelConfig,
+    "RaftModelConfig": RaftModelConfig,
+    "VoxelMorphModelConfig": VoxelMorphModelConfig,
+    "DataConfig": DataConfig,
+}
+
+
+def load_experiment_config(path: str | Path) -> ExperimentConfig:
+    """Load a YAML experiment config; like the reference, the config file is
+    copied next to the weights and re-read for validation-only runs
+    (ref: nnunet/run/run_training.py:190-194)."""
+    with open(path) as f:
+        d = yaml.safe_load(f) or {}
+    return ExperimentConfig.from_dict(d)
