@@ -55,7 +55,7 @@ class LossWeights:
     raft_sequence_gamma: float = 0.8    # ref: nnMTLTrainerV2Raft.py:182
 
 
-@dataclass
+@dataclass(frozen=True)
 class SegFlowModelConfig:
     """Joint seg+flow video model hyperparameters
     (ref: video.yaml model keys; SegFlowGaussian model __init__ at
@@ -81,7 +81,7 @@ class SegFlowModelConfig:
     dtype: str = "bfloat16"
 
 
-@dataclass
+@dataclass(frozen=True)
 class RaftModelConfig:
     """RAFT (ref: torchvision raft_large pinned at
     ref: nnunet/training/network_training/nnMTLTrainerV2Raft.py:97,104;
@@ -96,7 +96,7 @@ class RaftModelConfig:
     dtype: str = "bfloat16"
 
 
-@dataclass
+@dataclass(frozen=True)
 class VoxelMorphModelConfig:
     """Registration net (ref: nnunet/network_architecture/Optical_flow_model.py:72,
     integration at ref: nnunet/network_architecture/integration.py:84-98)."""

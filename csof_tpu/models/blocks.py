@@ -1,0 +1,146 @@
+"""Shared conv/norm/attention building blocks (flax.linen, channels-last).
+
+TPU-first re-design of the reference's block library
+(ref: nnunet/network_architecture/generic_UNet.py:26-79 `ConvDropoutNormNonlin`;
+ref: nnunet/lib/encoder.py / lib/utils.py conv blocks): channels-last layouts
+so XLA tiles convs onto the MXU, fused norm+activation, bf16-friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def leaky_relu(x, negative_slope: float = 0.01):
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over spatial dims
+    (ref norm: nn.InstanceNorm{2,3}d(affine=True, eps=1e-5))."""
+
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (N, *spatial, C); reduce over spatial axes
+        axes = tuple(range(1, x.ndim - 1))
+        c = x.shape[-1]
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.var(x, axis=axes, keepdims=True)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * scale + bias).astype(x.dtype)
+
+
+class GroupNorm(nn.Module):
+    """GroupNorm (ref: lib encoder blocks use group norm, video.yaml norm: group)."""
+
+    num_groups: int = 8
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = min(self.num_groups, c)
+        while c % g:
+            g -= 1
+        orig_shape = x.shape
+        spatial = x.shape[1:-1]
+        xg = x.reshape(x.shape[0], *spatial, g, c // g)
+        axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.var(xg, axis=axes, keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(orig_shape)
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        return (y * scale + bias).astype(x.dtype)
+
+
+def make_norm(kind: str, **kw):
+    if kind == "instance":
+        return InstanceNorm()
+    if kind == "group":
+        return GroupNorm(num_groups=kw.get("num_groups", 8))
+    if kind == "layer":
+        return nn.LayerNorm()
+    if kind == "batch":
+        # stateless batch norm is a poor fit for pure train steps; GroupNorm is
+        # the TPU-friendly stand-in (same role in the reference's configs)
+        return GroupNorm(num_groups=kw.get("num_groups", 8))
+    raise ValueError(f"unknown norm kind {kind!r}")
+
+
+class ConvNormAct(nn.Module):
+    """conv -> norm -> activation (ref: ConvDropoutNormNonlin,
+    generic_UNet.py:26-69; dropout p=0 in the V2 recipe so omitted)."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int] | None = None
+    norm: str = "instance"
+    act: Callable = leaky_relu
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(self.strides) if self.strides else None,
+            padding="SAME",
+            dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal(),
+        )(x)
+        x = make_norm(self.norm)(x)
+        return self.act(x)
+
+
+class StackedConvs(nn.Module):
+    """`num_convs` ConvNormAct blocks; the first may downsample via stride
+    (ref: StackedConvLayers, generic_UNet.py:79-141 with
+    convolutional_pooling=True)."""
+
+    features: int
+    num_convs: int
+    kernel_size: Sequence[int]
+    first_stride: Sequence[int] | None = None
+    norm: str = "instance"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i in range(self.num_convs):
+            x = ConvNormAct(
+                self.features,
+                self.kernel_size,
+                strides=self.first_stride if i == 0 else None,
+                norm=self.norm,
+                dtype=self.dtype,
+            )(x)
+        return x
+
+
+def upsample_nearest(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
+    """Nearest-neighbor upsampling of spatial dims (channels-last)."""
+    for ax, f in enumerate(factors):
+        if f != 1:
+            x = jnp.repeat(x, f, axis=ax + 1)
+    return x
+
+
+def upsample_linear(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
+    """Bi/tri-linear upsampling via jax.image.resize (align_corners=False
+    semantics, matching torch nn.Upsample(mode='bilinear'))."""
+    new_shape = (
+        x.shape[0],
+        *[s * f for s, f in zip(x.shape[1:-1], factors)],
+        x.shape[-1],
+    )
+    return jax.image.resize(x, new_shape, method="linear")

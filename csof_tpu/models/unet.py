@@ -1,0 +1,134 @@
+"""Plans-driven dynamic U-Net (the nnU-Net workhorse), TPU-native.
+
+Capability parity with the reference's `Generic_UNet`
+(ref: nnunet/network_architecture/generic_UNet.py:167-449), using the
+nnUNetTrainerV2 recipe (ref: nnunet/training/network_training/
+nnUNetTrainerV2.py:136-170): strided-conv pooling, transposed-conv
+upsampling, InstanceNorm + LeakyReLU(0.01), no dropout, deep-supervision
+1x1-conv heads at every decoder scale, features doubled per stage and capped
+at 480 (2D) / 320 (3D).
+
+Differences by design (TPU-first):
+- channels-last (N, *spatial, C) so XLA maps convs onto the MXU,
+- pure function of (params, x); deep supervision returns a tuple
+  highest-resolution-first (same ordering the reference returns after its
+  `seg_outputs[::-1]`),
+- optional bf16 compute with fp32 params/norm statistics.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from csof_tpu.config.plans import Plans, StagePlans
+from csof_tpu.models.blocks import ConvNormAct, StackedConvs
+
+MAX_FILTERS_2D = 480  # ref: generic_UNet.py:180
+MAX_FILTERS_3D = 320  # ref: generic_UNet.py:173
+
+
+class GenericUNet(nn.Module):
+    num_classes: int
+    base_num_features: int = 32
+    # one per downsampling step; per-axis strides (ref plans pool_op_kernel_sizes)
+    pool_kernel_sizes: Sequence[Sequence[int]] = ((2, 2), (2, 2), (2, 2), (2, 2), (2, 2))
+    # one per resolution level = num_pool + 1 (ref plans conv_kernel_sizes)
+    conv_kernel_sizes: Sequence[Sequence[int]] = ((3, 3),) * 6
+    conv_per_stage: int = 2
+    max_features: int | None = None
+    norm: str = "instance"
+    deep_supervision: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    def features_at(self, level: int) -> int:
+        ndim = len(self.conv_kernel_sizes[0])
+        cap = self.max_features or (MAX_FILTERS_3D if ndim == 3 else MAX_FILTERS_2D)
+        return min(self.base_num_features * (2 ** level), cap)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False):
+        """x: (N, *spatial, C_in) -> logits (N, *spatial, num_classes) or a
+        tuple of deep-supervision logits, full resolution first."""
+        num_pool = len(self.pool_kernel_sizes)
+        skips = []
+        # encoder: levels 0..num_pool-1 at stride 1 relative to their input,
+        # downsampling via the first conv of the *next* stage
+        for d in range(num_pool):
+            x = StackedConvs(
+                self.features_at(d),
+                self.conv_per_stage,
+                self.conv_kernel_sizes[d],
+                first_stride=None if d == 0 else self.pool_kernel_sizes[d - 1],
+                norm=self.norm,
+                dtype=self.dtype,
+            )(x)
+            skips.append(x)
+        # bottleneck (ref: generic_UNet.py:290-305): downsample, then
+        # conv_per_stage-1 convs at one feature level + 1 conv at next
+        bottleneck_feats = self.features_at(num_pool)
+        x = StackedConvs(
+            bottleneck_feats,
+            self.conv_per_stage,
+            self.conv_kernel_sizes[num_pool],
+            first_stride=self.pool_kernel_sizes[-1],
+            norm=self.norm,
+            dtype=self.dtype,
+        )(x)
+
+        seg_outputs = []
+        # decoder: upsample with transposed conv, concat skip, convs, 1x1 head
+        for u in range(num_pool):
+            level = num_pool - 1 - u
+            skip = skips[level]
+            x = nn.ConvTranspose(
+                self.features_at(level),
+                kernel_size=tuple(self.pool_kernel_sizes[level]),
+                strides=tuple(self.pool_kernel_sizes[level]),
+                padding="VALID",
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+            )(x)
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = StackedConvs(
+                self.features_at(level),
+                self.conv_per_stage,
+                self.conv_kernel_sizes[level],
+                norm=self.norm,
+                dtype=self.dtype,
+            )(x)
+            head = nn.Conv(
+                self.num_classes,
+                kernel_size=(1,) * (x.ndim - 2),
+                use_bias=False,  # ref: seg_output_use_bias=False
+                dtype=self.dtype,
+                name=f"seg_head_{level}",
+            )(x)
+            seg_outputs.append(head.astype(jnp.float32))
+
+        seg_outputs = seg_outputs[::-1]  # full resolution first
+        if self.deep_supervision:
+            return tuple(seg_outputs)
+        return seg_outputs[0]
+
+
+def unet_from_plans(
+    plans: Plans,
+    stage: int | None = None,
+    deep_supervision: bool = True,
+    dtype=jnp.float32,
+) -> GenericUNet:
+    """Build the network exactly as the plans prescribe
+    (ref: nnUNetTrainerV2.initialize_network, nnUNetTrainerV2.py:136-170)."""
+    sp: StagePlans = plans.stage(stage)
+    return GenericUNet(
+        num_classes=plans.num_classes_with_background,
+        base_num_features=plans.base_num_features,
+        pool_kernel_sizes=tuple(tuple(p) for p in sp.pool_op_kernel_sizes),
+        conv_kernel_sizes=tuple(tuple(k) for k in sp.conv_kernel_sizes),
+        conv_per_stage=plans.conv_per_stage,
+        deep_supervision=deep_supervision,
+        dtype=dtype,
+    )

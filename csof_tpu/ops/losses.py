@@ -1,0 +1,249 @@
+"""Loss library (jittable, batched).
+
+Capability parity with the reference's loss stack
+(ref: nnunet/training/loss_functions/dice_loss.py:26-604 — SoftDice, GDL,
+DC_and_CE, DC_and_topk, DC_and_focal; crossentropy.py:5; TopK_loss.py:20;
+focal_loss.py:22; deep_supervision.py:24 MultipleOutputLoss2) and the
+registration losses (ref: nnunet/lib/loss.py:15-178 — windowed NCC,
+spatial/temporal smoothing) plus the RAFT sequence loss
+(ref: nnunet/training/network_training/nnMTLTrainerV2Raft.py:182,1522).
+
+Conventions: logits are channels-last (N, *spatial, C); targets are integer
+label maps (N, *spatial) unless stated. All reductions return scalars.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
+    return jax.nn.one_hot(labels.astype(jnp.int32), num_classes, dtype=jnp.float32)
+
+
+def get_tp_fp_fn_tn(
+    probs: jnp.ndarray,
+    target: jnp.ndarray,
+    axes: Sequence[int] | None = None,
+    mask: jnp.ndarray | None = None,
+    square: bool = False,
+):
+    """Soft confusion-matrix pieces per class
+    (ref: dice_loss.py:101-160 `get_tp_fp_fn_tn`).
+
+    probs: (N, *spatial, C) softmax probabilities; target: (N, *spatial) int
+    or (N, *spatial, C) one-hot. Reduces over `axes` (default: spatial).
+    """
+    c = probs.shape[-1]
+    if target.ndim == probs.ndim - 1:
+        y = one_hot(target, c)
+    else:
+        y = target.astype(probs.dtype)
+    if axes is None:
+        axes = tuple(range(1, probs.ndim - 1))
+    if mask is not None:
+        m = mask[..., None] if mask.ndim == probs.ndim - 1 else mask
+        probs = probs * m
+        y = y * m
+    tp = probs * y
+    fp = probs * (1 - y)
+    fn = (1 - probs) * y
+    tn = (1 - probs) * (1 - y)
+    if square:
+        tp, fp, fn, tn = tp**2, fp**2, fn**2, tn**2
+    return (
+        jnp.sum(tp, axis=axes),
+        jnp.sum(fp, axis=axes),
+        jnp.sum(fn, axis=axes),
+        jnp.sum(tn, axis=axes),
+    )
+
+
+def soft_dice_loss(
+    logits: jnp.ndarray,
+    target: jnp.ndarray,
+    batch_dice: bool = False,
+    do_bg: bool = False,
+    smooth: float = 1e-5,
+    mask: jnp.ndarray | None = None,
+    axis_reduce: str = "mean",
+) -> jnp.ndarray:
+    """SoftDiceLoss (ref: dice_loss.py:201-250): 1 - mean Dice over classes
+    (background dropped unless do_bg), optional batch-dice (statistics summed
+    over the batch axis before the ratio — the DDP trainer's global batch
+    dice, ref: nnUNetTrainerV2_DDP.py:247-280, maps to a psum of tp/fp/fn)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    axes = tuple(range(0, probs.ndim - 1)) if batch_dice else tuple(range(1, probs.ndim - 1))
+    tp, fp, fn, _ = get_tp_fp_fn_tn(probs, target, axes=axes, mask=mask)
+    nominator = 2 * tp + smooth
+    denominator = 2 * tp + fp + fn + smooth
+    dc = nominator / denominator  # (C,) if batch_dice else (N, C)
+    if not do_bg:
+        dc = dc[..., 1:]
+    return 1 - jnp.mean(dc)
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray, target: jnp.ndarray, ignore_index: int | None = None
+) -> jnp.ndarray:
+    """RobustCrossEntropy (ref: crossentropy.py:5); channels-last."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(
+        logp, jnp.clip(target, 0)[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    if ignore_index is not None:
+        valid = (target != ignore_index).astype(logits.dtype)
+        return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.mean(nll)
+
+
+def topk_cross_entropy_loss(logits, target, k_percent: float = 10.0):
+    """TopK loss: mean CE over the hardest k% voxels (ref: TopK_loss.py:20)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    flat = nll.reshape(-1)
+    k = max(1, int(flat.shape[0] * k_percent / 100))
+    vals, _ = jax.lax.top_k(flat, k)
+    return jnp.mean(vals)
+
+
+def focal_loss(logits, target, gamma: float = 2.0, alpha: float = 0.25):
+    """Focal loss (ref: focal_loss.py:22)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    logpt = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    pt = jnp.exp(logpt)
+    return jnp.mean(-alpha * (1 - pt) ** gamma * logpt)
+
+
+def dice_and_ce_loss(
+    logits, target, weight_ce: float = 1.0, weight_dice: float = 1.0,
+    batch_dice: bool = True, smooth: float = 1e-5,
+):
+    """DC_and_CE (ref: dice_loss.py:436); the nnUNetTrainerV2 default uses
+    batch_dice for 2D and smooth 1e-5 (ref: nnUNetTrainer.py:259)."""
+    return weight_ce * cross_entropy_loss(logits, target) + weight_dice * soft_dice_loss(
+        logits, target, batch_dice=batch_dice, smooth=smooth
+    )
+
+
+def deep_supervision_weights(num_outputs: int, mask_last: bool = True) -> jnp.ndarray:
+    """1/2^i weights, normalized; lowest resolution(s) masked out below a
+    minimum feature-map size in the reference — here the lowest level is
+    dropped when mask_last (ref: nnUNetTrainerV2.py:78-90)."""
+    w = jnp.array([1 / (2**i) for i in range(num_outputs)])
+    if mask_last and num_outputs > 2:
+        w = w.at[-1].set(0.0)
+    return w / jnp.sum(w)
+
+
+def deep_supervision_loss(outputs: Sequence[jnp.ndarray], targets: Sequence[jnp.ndarray], loss_fn, weights=None):
+    """MultipleOutputLoss2 (ref: deep_supervision.py:24): weighted sum of the
+    loss at each scale; `targets` are the seg maps downsampled per scale."""
+    if weights is None:
+        weights = deep_supervision_weights(len(outputs))
+    total = 0.0
+    for i, (o, t) in enumerate(zip(outputs, targets)):
+        total = total + weights[i] * loss_fn(o, t)
+    return total
+
+
+def downsample_seg_for_ds(
+    seg: jnp.ndarray, pool_kernel_sizes: Sequence[Sequence[int]]
+) -> list[jnp.ndarray]:
+    """Downsample an integer seg map to every deep-supervision scale via
+    nearest/stride slicing (capability of DownsampleSegForDSTransform2,
+    ref: nnunet/training/data_augmentation/downsampling.py)."""
+    out = [seg]
+    cur = seg
+    for strides in pool_kernel_sizes:
+        slicer = (slice(None),) + tuple(slice(None, None, s) for s in strides)
+        cur = cur[slicer]
+        out.append(cur)
+    return out[:-1]  # heads exist down to (num_pool-1) scales below full res
+
+
+# ---------------------------------------------------------------------------
+# Registration / flow losses
+# ---------------------------------------------------------------------------
+
+
+def ncc_loss(pred: jnp.ndarray, target: jnp.ndarray, window: int = 9, eps: float = 1e-5) -> jnp.ndarray:
+    """Windowed local normalized cross-correlation, returned as 1 - NCC
+    (so 0 for identical images). Ref: nnunet/lib/loss.py:15-75 computes local
+    sums via conv with an all-ones kernel over a 9x9 window; identical math
+    here via depthwise sum-pool (reduce_window).
+
+    pred/target: (N, *spatial, C) with C=1 typically; 2D or 3D.
+    """
+    ndim = pred.ndim - 2
+    win = (1,) + (window,) * ndim + (1,)
+
+    def local_sum(x):
+        return jax.lax.reduce_window(
+            x, 0.0, jax.lax.add, win, (1,) * (ndim + 2), "SAME"
+        )
+
+    win_size = float(window**ndim)
+    i, j = pred.astype(jnp.float32), target.astype(jnp.float32)
+    i_sum, j_sum = local_sum(i), local_sum(j)
+    i2_sum, j2_sum = local_sum(i * i), local_sum(j * j)
+    ij_sum = local_sum(i * j)
+    i_mu, j_mu = i_sum / win_size, j_sum / win_size
+    cross = ij_sum - j_mu * i_sum - i_mu * j_sum + i_mu * j_mu * win_size
+    i_var = i2_sum - 2 * i_mu * i_sum + i_mu * i_mu * win_size
+    j_var = j2_sum - 2 * j_mu * j_sum + j_mu * j_mu * win_size
+    cc = (cross * cross) / (i_var * j_var + eps)
+    return 1.0 - jnp.mean(cc)
+
+
+def spatial_gradient_penalty(flow: jnp.ndarray, order: int = 2) -> jnp.ndarray:
+    """Mean squared spatial gradient of a dense flow field
+    (ref: SpatialSmoothingLoss, lib/loss.py:80-128).
+
+    flow: (N, H, W, 2) or (N, D, H, W, 3); penalty over spatial axes only.
+    """
+    ndim = flow.ndim - 2
+    total = 0.0
+    for ax in range(1, 1 + ndim):
+        d = jnp.diff(flow, axis=ax)
+        total = total + jnp.mean(jnp.abs(d) ** order)
+    return total / ndim
+
+
+def temporal_gradient_penalty(flow_seq: jnp.ndarray, order: int = 2) -> jnp.ndarray:
+    """Mean squared temporal gradient over the frame axis
+    (ref: TemporalSmoothingLoss, lib/loss.py:130-178).
+
+    flow_seq: (T, N, H, W, 2) — leading time axis.
+    """
+    d = jnp.diff(flow_seq, axis=0)
+    return jnp.mean(jnp.abs(d) ** order)
+
+
+def raft_sequence_loss(
+    flow_preds: jnp.ndarray, flow_gt: jnp.ndarray, gamma: float = 0.8,
+    valid: jnp.ndarray | None = None, max_flow: float = 400.0,
+) -> jnp.ndarray:
+    """Exponentially-weighted L1 over RAFT iterations
+    (ref: nnMTLTrainerV2Raft.py:1522 sequence loss, torchvision recipe).
+
+    flow_preds: (iters, N, H, W, 2); flow_gt: (N, H, W, 2).
+    """
+    n = flow_preds.shape[0]
+    mag = jnp.sqrt(jnp.sum(flow_gt**2, axis=-1))
+    v = (mag < max_flow).astype(jnp.float32)
+    if valid is not None:
+        v = v * valid.astype(jnp.float32)
+    weights = gamma ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+    l1 = jnp.mean(
+        jnp.abs(flow_preds - flow_gt[None]), axis=-1
+    )  # (iters, N, H, W)
+    per_iter = jnp.sum(l1 * v[None], axis=(1, 2, 3)) / jnp.maximum(jnp.sum(v), 1.0)
+    return jnp.sum(weights * per_iter)
+
+
+def charbonnier_loss(pred, target, eps: float = 1e-3):
+    return jnp.mean(jnp.sqrt((pred - target) ** 2 + eps**2))
