@@ -1,0 +1,67 @@
+"""Attention blocks for the video bottleneck (flax, channels-last).
+
+Capability parity with the reference's transformer library subset actually
+used by the flagship model (ref: nnunet/lib/vit_transformer.py —
+`CrossAttentionLayer`, `TransformerFlowEncoder*`; sine positional embeddings
+per ref: nnunet/lib/position_embedding.py). Spatial feature maps are
+flattened to token sequences; attention is dot-product multi-head (MXU
+matmuls). Blockwise/flash-style variants can swap in at the Pallas layer
+without changing this interface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sine_pos_embed_2d(h: int, w: int, dim: int, temperature: float = 10000.0) -> jnp.ndarray:
+    """(h*w, dim) fixed 2D sine/cosine positional embedding
+    (ref: position_embedding.py PositionEmbeddingSine semantics)."""
+    assert dim % 4 == 0, "2D sine embedding needs dim % 4 == 0"
+    quarter = dim // 4
+    omega = 1.0 / (temperature ** (np.arange(quarter) / quarter))
+    ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    out = []
+    for coord in (ys, xs):
+        ang = coord.reshape(-1)[:, None] * omega[None, :]
+        out.extend([np.sin(ang), np.cos(ang)])
+    return jnp.asarray(np.concatenate(out, axis=1), jnp.float32)
+
+
+class CrossAttentionLayer(nn.Module):
+    """Pre-norm cross-attention + FFN over flattened spatial tokens
+    (ref: vit_transformer.py CrossAttentionLayer)."""
+
+    d_model: int
+    num_heads: int = 4
+    dim_feedforward: int = 1024
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query_map: jnp.ndarray, key_map: jnp.ndarray, value_map: jnp.ndarray):
+        """query/key/value maps: (H, W, C) -> (H, W, d_model)."""
+        h, w, _ = query_map.shape
+        pos = sine_pos_embed_2d(h, w, self.d_model).astype(self.dtype)
+
+        def tokens(m):
+            t = m.reshape(-1, m.shape[-1]).astype(self.dtype)
+            if t.shape[-1] != self.d_model:
+                t = nn.Dense(self.d_model, dtype=self.dtype)(t)
+            return t
+
+        q = tokens(query_map) + pos
+        k = tokens(key_map) + pos
+        v = tokens(value_map)
+        qn = nn.LayerNorm(dtype=self.dtype)(q)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, qkv_features=self.d_model, dtype=self.dtype
+        )(qn[None], k[None], v[None])[0]
+        x = q + attn
+        y = nn.LayerNorm(dtype=self.dtype)(x)
+        y = nn.Dense(self.dim_feedforward, dtype=self.dtype)(y)
+        y = nn.gelu(y)
+        y = nn.Dense(self.d_model, dtype=self.dtype)(y)
+        x = x + y
+        return x.reshape(h, w, self.d_model)

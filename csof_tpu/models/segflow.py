@@ -1,0 +1,210 @@
+"""SegFlow: joint segmentation + optical-flow cardiac video model (flagship,
+BASELINE config 5).
+
+Capability parity with the reference's `SegFlowGaussian`
+(ref: nnunet/network_architecture/SegFlowGaussian.py:70-378 module graph;
+canonical forward `forward_multi_task_flow_deformable_cost_volume_
+transformer_cat` at ref: SegFlowGaussian.py:1330-1445):
+
+- dual encoders: a `query_encoder` on the current frame (ref :242) and a
+  `memory_encoder` over the 6-channel past state
+  [x0, x_prev, cumulative-flow(2), error, registered] (ref :231, 1343),
+- per-scale local correlation volumes fused with memory skips
+  (ref :255-269, 1374-1386),
+- two cross-attention bottlenecks: current-vs-previous matching and
+  current-vs-ED(first)+past-motion (ref :356-357, 1395-1407),
+- ConvGRU hidden state across frames (ref :342-350, 1415),
+- flow decoder (2 channels) + cumulative backward-flow integration with
+  warping and error feedback (ref :296, 1419-1428),
+- a segmentation decoder on query features (joint seg+flow multi-task).
+
+TPU-first re-design: the per-frame Python loop becomes `nn.scan` over the
+time axis (carry = GRU hidden + cumulative flow + prev bottleneck), all
+frame-independent encoding is batched over T, correlation volumes are
+shift-product ops (no gather), and compute runs in bf16 with fp32 heads.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from csof_tpu.config.experiment import SegFlowModelConfig
+from csof_tpu.models.attention import CrossAttentionLayer
+from csof_tpu.models.blocks import ConvNormAct, upsample_linear
+from csof_tpu.models.convgru import ConvGRUCell
+from csof_tpu.ops.correlation import local_correlation_volume
+from csof_tpu.ops.warp import warp_image
+
+
+class Encoder(nn.Module):
+    """Conv encoder returning per-level skips (last = bottleneck input).
+    (ref: nnunet/lib/encoder.py:515 Encoder2D — conv stages + group norm)."""
+
+    out_dims: Sequence[int]
+    norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        skips = []
+        for i, f in enumerate(self.out_dims):
+            stride = (2, 2) if i > 0 else (1, 1)
+            x = ConvNormAct(f, (3, 3), strides=stride, norm=self.norm, dtype=self.dtype)(x)
+            x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
+            skips.append(x)
+        return skips
+
+
+class Decoder(nn.Module):
+    """Upsample + skip-fusion decoder with a linear head
+    (ref: nnunet/lib/decoder_alt.py:781 Decoder2D)."""
+
+    out_dims: Sequence[int]  # high-to-low resolution feature dims
+    head_channels: int
+    norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
+    head_init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, bottleneck, skips):
+        x = bottleneck
+        for i, skip in enumerate(reversed(skips[:-1])):
+            f = self.out_dims[len(skips) - 2 - i]
+            x = upsample_linear(x[None], (2, 2))[0]
+            x = jnp.concatenate([x, skip], axis=-1)
+            x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
+            x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
+        head = nn.Conv(
+            self.head_channels,
+            (1, 1),
+            kernel_init=nn.initializers.normal(1e-5 * self.head_init_scale),
+            dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return head, x
+
+
+class SegFlowStep(nn.Module):
+    """One temporal step: encode current frame + memory state, correlate,
+    cross-attend, update GRU, decode flow + seg."""
+
+    cfg: SegFlowModelConfig
+    num_classes: int
+
+    @nn.compact
+    def __call__(self, carry, inputs):
+        frame, t_idx = inputs
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        hidden, cum_flow, prev_bottleneck, x0, prev_frame = carry
+
+        registered = warp_image(frame, cum_flow, padding="border")
+        error = registered - x0
+        memory_in = jnp.concatenate(
+            [x0, prev_frame, cum_flow, error, registered], axis=-1
+        )  # 6 channels (ref: SegFlowGaussian.py:1343)
+
+        q_skips = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="query_encoder")(
+            frame.astype(dtype)[None]
+        )
+        m_skips = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="memory_encoder")(
+            memory_in.astype(dtype)[None]
+        )
+        q_skips = [s[0] for s in q_skips]
+        m_skips = [s[0] for s in m_skips]
+
+        # per-scale local correlation fused into the query skips
+        fused = []
+        for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
+            if cfg.use_cost_volume:
+                corr = local_correlation_volume(
+                    q.astype(jnp.float32),
+                    m.astype(jnp.float32),
+                    radius=cfg.corr_radius[lvl],
+                    stride=cfg.corr_stride[lvl],
+                ).astype(dtype)
+                cat = jnp.concatenate([q, m, corr], axis=-1)
+            else:
+                cat = jnp.concatenate([q, m], axis=-1)
+            fused.append(
+                ConvNormAct(q.shape[-1], (3, 3), norm=cfg.norm, dtype=dtype,
+                            name=f"skip_fuse_{lvl}")(cat[None])[0]
+            )
+
+        cur = fused[-1]
+        # bottleneck 1: match current against previous-frame bottleneck
+        b1 = CrossAttentionLayer(
+            cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_prev"
+        )(cur, prev_bottleneck, prev_bottleneck)
+        # bottleneck 2: match against the ED (first) frame + past motion (GRU h)
+        b2 = CrossAttentionLayer(
+            cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_ed"
+        )(cur, m_skips[-1], hidden)
+        bottleneck = jnp.concatenate([b1, b2], axis=-1).astype(dtype)
+        bottleneck = ConvNormAct(cfg.d_model, (3, 3), norm=cfg.norm, dtype=dtype)(bottleneck[None])[0]
+
+        if cfg.use_gru:
+            hidden = ConvGRUCell(cfg.d_model, (3, 3), dtype=dtype, name="gru")(
+                hidden.astype(dtype), bottleneck
+            )
+            dec_in = hidden
+        else:
+            dec_in = bottleneck
+
+        dflow, _ = Decoder(cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder")(
+            dec_in, fused
+        )
+        seg_logits, _ = Decoder(
+            cfg.out_encoder_dims, self.num_classes, cfg.norm, dtype,
+            name="seg_decoder", head_init_scale=1e5,
+        )(q_skips[-1], q_skips)
+
+        # frame 0 anchors the sequence: its flow step is identity
+        dflow = dflow * (t_idx > 0).astype(dflow.dtype)
+        cum_flow = cum_flow + dflow  # cumulative backward flow (ref :1419)
+        new_carry = (hidden, cum_flow, cur, x0, frame)
+        return new_carry, {
+            "flow": dflow,
+            "cum_flow": cum_flow,
+            "seg_logits": seg_logits,
+            "registered": warp_image(frame, cum_flow, padding="border"),
+        }
+
+
+class SegFlow(nn.Module):
+    """Full video model: scan SegFlowStep over frames 1..T-1.
+
+    Input video: (T, H, W, 1). Outputs dict of stacked per-frame results for
+    frames 1..T-1 plus the frame-0 segmentation.
+    """
+
+    cfg: SegFlowModelConfig = SegFlowModelConfig()
+    num_classes: int = 4
+
+    @nn.compact
+    def __call__(self, video: jnp.ndarray):
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.dtype)
+        t, h, w, _ = video.shape
+        n_levels = len(cfg.out_encoder_dims)
+        hb, wb = h // (2 ** (n_levels - 1)), w // (2 ** (n_levels - 1))
+
+        x0 = video[0]
+        hidden0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
+        prev_b0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
+        carry0 = (hidden0, jnp.zeros((h, w, 2), jnp.float32), prev_b0, x0, x0)
+
+        # scan over ALL frames (frame 0 included with an identity flow step,
+        # so every frame gets a segmentation from shared decoder params)
+        scan = nn.scan(
+            SegFlowStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=0,
+            out_axes=0,
+        )(cfg=cfg, num_classes=self.num_classes)
+        _, outs = scan(carry0, (video, jnp.arange(t)))
+        return outs
