@@ -1,0 +1,378 @@
+"""Trainers: jit-sharded train steps + the epoch/checkpoint/early-stop loop.
+
+Capability parity with the reference trainer hierarchy (collapsed):
+- epoch protocol, EMA losses, patience early-stop, checkpoint triad
+  (ref: nnunet/training/network_training/network_trainer.py:43-744 —
+  `run_training:493`, `run_iteration:706`, `manage_patience:632`,
+  `save_checkpoint:305`),
+- the V2 recipe: deep supervision, SGD nesterov + poly LR, grad-clip 12,
+  foreground-dice online eval (ref: nnUNetTrainerV2.py:42-458),
+- the flow recipe: AdamW + cosine, composite registration losses
+  (ref: nnunet/training/network_training/SegFlowGaussian.py:599-627,
+  compute_losses_backward:1370-1460),
+- DDP semantics: global batch-dice via in-step cross-device reduction
+  (ref: nnUNetTrainerV2_DDP.py:247-308) — here a one-line sum under a
+  sharded jit (see csof_tpu.parallel.mesh.global_batch_dice_stats).
+
+TPU-first: ONE jitted train step (forward+loss+grad+update+metrics) with
+`donate_argnums` on the state; batches arrive host-side and are placed with
+a `data`-axis sharding; everything inside is pure.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from csof_tpu.config.experiment import ExperimentConfig
+from csof_tpu.models.raft import RAFT
+from csof_tpu.models.segflow import SegFlow
+from csof_tpu.models.unet import GenericUNet, unet_from_plans
+from csof_tpu.models.voxelmorph import VoxelMorph
+from csof_tpu.ops import losses as L
+from csof_tpu.parallel.mesh import batch_sharding, global_batch_dice_stats, make_mesh, replicated
+from csof_tpu.training import checkpoint as ckpt
+from csof_tpu.training.schedules import build_optimizer
+
+
+# ---------------------------------------------------------------------------
+# model factory
+# ---------------------------------------------------------------------------
+
+
+def build_model(config: ExperimentConfig, plans=None, num_classes: int | None = None):
+    """The typed replacement for the reference's reflection-based trainer
+    lookup + `build_*` factories (ref: nnunet/training/model_restore.py:23,
+    nnunet/lib/training_utils.py:509-2089)."""
+    kind = config.model
+    if kind in ("unet2d", "unet3d"):
+        if plans is not None:
+            return unet_from_plans(plans, deep_supervision=config.deep_supervision)
+        nd = 2 if kind == "unet2d" else 3
+        return GenericUNet(
+            num_classes=num_classes or 4,
+            base_num_features=16,
+            pool_kernel_sizes=tuple(((2,) * nd,) * 4),
+            conv_kernel_sizes=tuple(((3,) * nd,) * 5),
+            deep_supervision=config.deep_supervision,
+        )
+    if kind == "raft":
+        return RAFT(config.raft)
+    if kind == "voxelmorph":
+        return VoxelMorph(config.voxelmorph)
+    if kind == "segflow":
+        return SegFlow(cfg=config.segflow, num_classes=num_classes or 4)
+    raise ValueError(f"unknown model kind {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# loss functions per model kind (batch dict -> scalar + aux metrics)
+# ---------------------------------------------------------------------------
+
+
+def make_seg_loss(config: ExperimentConfig, model: GenericUNet):
+    pool = model.pool_kernel_sizes
+
+    def loss_fn(params, batch):
+        outs = model.apply(params, batch["data"])
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+        targets = L.downsample_seg_for_ds(batch["seg"], pool)[: len(outs)]
+        loss = L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+        probs = jax.nn.softmax(outs[0], axis=-1)
+        tp, fp, fn, _ = L.get_tp_fp_fn_tn(probs, batch["seg"])
+        tp, fp, fn = global_batch_dice_stats(tp, fp, fn)
+        return loss, {"tp": tp, "fp": fp, "fn": fn}
+
+    return loss_fn
+
+
+def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
+    w = config.loss_weights
+
+    def one_video(params, video, seg, labeled_mask):
+        """video: (T, H, W, 1); seg: (T, H, W) int (-1 where unlabeled);
+        labeled_mask: (T,) float."""
+        out = model.apply(params, video)
+        x0 = video[0]
+        # unsupervised registration: NCC(registered_t, x0) over t>=1
+        ncc = L.ncc_loss(out["registered"][1:], jnp.broadcast_to(x0, out["registered"][1:].shape))
+        smooth_xy = L.spatial_gradient_penalty(out["cum_flow"][1:])
+        smooth_t = L.temporal_gradient_penalty(out["cum_flow"])
+        # supervised seg on labeled frames
+        seg_ce = L.cross_entropy_loss(out["seg_logits"], seg, ignore_index=-1)
+        m = labeled_mask[:, None, None]
+        seg_dice = L.soft_dice_loss(out["seg_logits"], jnp.clip(seg, 0), batch_dice=True, mask=m)
+        loss = (
+            w.image_flow_global * ncc
+            + w.regularization_xy * smooth_xy
+            + w.regularization_z * smooth_t
+            + w.segmentation * (seg_ce + seg_dice)
+        )
+        return loss, {"ncc": ncc, "smooth_xy": smooth_xy, "smooth_t": smooth_t,
+                      "seg_ce": seg_ce, "seg_dice": seg_dice}
+
+    def loss_fn(params, batch):
+        losses, metrics = jax.vmap(
+            lambda v, s, m: one_video(params, v, s, m)
+        )(batch["video"], batch["seg"], batch["labeled_mask"])
+        return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}
+
+    return loss_fn
+
+
+def make_voxelmorph_loss(config: ExperimentConfig, model: VoxelMorph):
+    w = config.loss_weights
+
+    def loss_fn(params, batch):
+        out = model.apply(params, batch["moving"], batch["fixed"])
+        ncc = L.ncc_loss(out["registered"], batch["fixed"])
+        smooth = L.spatial_gradient_penalty(out["flow"])
+        loss = w.image_flow_global * ncc + w.regularization_xy * smooth
+        return loss, {"ncc": ncc, "smooth": smooth}
+
+    return loss_fn
+
+
+def make_raft_loss(config: ExperimentConfig, model: RAFT):
+    gamma = config.loss_weights.raft_sequence_gamma
+
+    def loss_fn(params, batch):
+        flows = jax.vmap(lambda a, b: model.apply(params, a, b))(
+            batch["image1"], batch["image2"]
+        )  # (B, iters, H, W, 2)
+        flows = jnp.swapaxes(flows, 0, 1)
+        if "flow_gt" in batch:
+            loss = L.raft_sequence_loss(flows, batch["flow_gt"], gamma=gamma)
+            return loss, {"seq_loss": loss}
+        # unsupervised: photometric warp loss on the final flow
+        from csof_tpu.ops.warp import warp_batch
+
+        final = flows[-1]
+        warped = warp_batch(batch["image2"], final, padding="border")
+        ncc = L.ncc_loss(warped, batch["image1"])
+        smooth = L.spatial_gradient_penalty(final)
+        loss = ncc + smooth
+        return loss, {"ncc": ncc, "smooth": smooth}
+
+    return loss_fn
+
+
+def make_loss_fn(config: ExperimentConfig, model):
+    if config.model in ("unet2d", "unet3d"):
+        return make_seg_loss(config, model)
+    if config.model == "segflow":
+        return make_segflow_loss(config, model)
+    if config.model == "voxelmorph":
+        return make_voxelmorph_loss(config, model)
+    if config.model == "raft":
+        return make_raft_loss(config, model)
+    raise ValueError(config.model)
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrainerHistory:
+    train_losses: list = field(default_factory=list)
+    val_losses: list = field(default_factory=list)
+    eval_metrics: list = field(default_factory=list)
+    epoch_times: list = field(default_factory=list)
+
+
+class Trainer:
+    """Config-driven trainer with a sharded jit train step.
+
+    `train_iter` / `val_iter` yield host-side batch dicts with leading batch
+    axes; the trainer shards them over the mesh's `data` axis.
+    """
+
+    # EMA / patience constants (ref: network_trainer.py:71-110)
+    train_loss_ma_alpha = 0.93
+    val_eval_criterion_alpha = 0.9
+    patience = 50
+    train_loss_ma_eps = 5e-4
+    checkpoint_every = 50
+
+    def __init__(
+        self,
+        config: ExperimentConfig,
+        output_folder: str | Path,
+        plans=None,
+        num_classes: int | None = None,
+        mesh=None,
+        example_batch: dict | None = None,
+    ):
+        self.config = config
+        self.output_folder = Path(output_folder)
+        self.output_folder.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh if mesh is not None else make_mesh(config.mesh_data, config.mesh_model)
+        self.model = build_model(config, plans=plans, num_classes=num_classes)
+        self.loss_fn = make_loss_fn(config, self.model)
+        total_steps = config.max_num_epochs * config.num_batches_per_epoch
+        self.tx = build_optimizer(config.optim, total_steps)
+        self.history = TrainerHistory()
+        self.epoch = 0
+        self.state: TrainState | None = None
+        self._train_step = None
+        self._val_step = None
+        if example_batch is not None:
+            self.initialize(example_batch)
+
+    # -- setup --------------------------------------------------------------
+
+    def _example_input(self, batch):
+        if self.config.model in ("unet2d", "unet3d"):
+            return (jnp.asarray(batch["data"][:1]),)
+        if self.config.model == "segflow":
+            return (jnp.asarray(batch["video"][0]),)
+        if self.config.model == "voxelmorph":
+            return (jnp.asarray(batch["moving"]), jnp.asarray(batch["fixed"]))
+        if self.config.model == "raft":
+            return (jnp.asarray(batch["image1"][0]), jnp.asarray(batch["image2"][0]))
+        raise ValueError(self.config.model)
+
+    def initialize(self, example_batch: dict):
+        rng = jax.random.PRNGKey(self.config.seed)
+        params = self.model.init(rng, *self._example_input(example_batch))
+        self.state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
+        rep = replicated(self.mesh)
+        data = batch_sharding(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+
+        loss_fn = self.loss_fn
+
+        def train_step(state, batch):
+            (loss, aux), grads = jax.value_and_grad(lambda p: loss_fn(p, batch), has_aux=True)(
+                state.params
+            )
+            state = state.apply_gradients(grads=grads)
+            return state, loss, aux
+
+        def val_step(state, batch):
+            loss, aux = loss_fn(state.params, batch)
+            return loss, aux
+
+        batch_shardings = jax.tree.map(lambda _: data, example_batch)
+        self._train_step = jax.jit(
+            train_step,
+            in_shardings=(rep, batch_shardings),
+            donate_argnums=0,
+        )
+        self._val_step = jax.jit(val_step, in_shardings=(rep, batch_shardings))
+        return self
+
+    # -- loop ---------------------------------------------------------------
+
+    def run_iteration(self, batch: dict, train: bool = True):
+        batch = jax.tree.map(jnp.asarray, batch)
+        if train:
+            self.state, loss, aux = self._train_step(self.state, batch)
+        else:
+            loss, aux = self._val_step(self.state, batch)
+        return float(loss), aux
+
+    def run_training(
+        self,
+        train_iter: Iterator[dict],
+        val_iter: Iterator[dict] | None = None,
+        max_epochs: int | None = None,
+        log_fn: Callable[[str], None] = print,
+    ):
+        cfg = self.config
+        max_epochs = max_epochs or cfg.max_num_epochs
+        train_loss_ma = None
+        best_ma = None
+        best_epoch = 0
+        while self.epoch < max_epochs:
+            t0 = time.time()
+            ep_losses = []
+            for _ in range(cfg.num_batches_per_epoch):
+                loss, _ = self.run_iteration(next(train_iter), train=True)
+                ep_losses.append(loss)
+                train_loss_ma = (
+                    loss
+                    if train_loss_ma is None
+                    else self.train_loss_ma_alpha * train_loss_ma
+                    + (1 - self.train_loss_ma_alpha) * loss
+                )
+            self.history.train_losses.append(float(np.mean(ep_losses)))
+
+            if val_iter is not None:
+                v_losses = []
+                dice_stats = None
+                for _ in range(cfg.num_val_batches_per_epoch):
+                    vloss, aux = self.run_iteration(next(val_iter), train=False)
+                    v_losses.append(vloss)
+                    if "tp" in aux:
+                        s = jax.device_get((aux["tp"], aux["fp"], aux["fn"]))
+                        dice_stats = s if dice_stats is None else tuple(
+                            a + b for a, b in zip(dice_stats, s)
+                        )
+                self.history.val_losses.append(float(np.mean(v_losses)))
+                if dice_stats is not None:
+                    tp, fp, fn = dice_stats
+                    fg_dice = (2 * tp[1:] / np.maximum(2 * tp[1:] + fp[1:] + fn[1:], 1e-8)).mean()
+                    self.history.eval_metrics.append(float(fg_dice))
+
+            self.history.epoch_times.append(time.time() - t0)
+            self.epoch += 1
+
+            # moving-average best tracking + patience (ref: manage_patience)
+            criterion = (
+                self.history.val_losses[-1]
+                if self.history.val_losses
+                else self.history.train_losses[-1]
+            )
+            ma = (
+                criterion
+                if best_ma is None
+                else self.val_eval_criterion_alpha * best_ma
+                + (1 - self.val_eval_criterion_alpha) * criterion
+            )
+            if best_ma is None or ma < best_ma - self.train_loss_ma_eps:
+                best_ma, best_epoch = ma, self.epoch
+                self.save_checkpoint(ckpt.BEST)
+            if self.epoch % self.checkpoint_every == 0:
+                self.save_checkpoint(ckpt.LATEST)
+            log_fn(
+                f"epoch {self.epoch}: train {self.history.train_losses[-1]:.4f}"
+                + (f" val {self.history.val_losses[-1]:.4f}" if self.history.val_losses else "")
+                + (f" fg-dice {self.history.eval_metrics[-1]:.4f}" if self.history.eval_metrics else "")
+                + f" ({self.history.epoch_times[-1]:.1f}s)"
+            )
+            if self.epoch - best_epoch > self.patience:
+                log_fn(f"early stop: no improvement for {self.patience} epochs")
+                break
+        self.save_checkpoint(ckpt.FINAL)
+        return self.history
+
+    # -- checkpointing ------------------------------------------------------
+
+    def save_checkpoint(self, name: str = ckpt.LATEST):
+        meta = {
+            "epoch": self.epoch,
+            "config_model": self.config.model,
+            "train_losses": self.history.train_losses[-5:],
+            "val_losses": self.history.val_losses[-5:],
+        }
+        ckpt.save_checkpoint(self.output_folder, self.state, name=name, meta=meta)
+
+    def load_checkpoint(self, name: str | None = None):
+        assert self.state is not None, "initialize() first"
+        self.state, meta = ckpt.load_checkpoint(self.output_folder, jax.device_get(self.state), name)
+        self.state = jax.device_put(self.state, replicated(self.mesh))
+        self.epoch = int(meta.get("epoch", 0))
+        return meta

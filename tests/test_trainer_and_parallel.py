@@ -1,0 +1,118 @@
+"""Trainer + mesh/sharding tests on the 8-device virtual CPU mesh."""
+
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csof_tpu.config.experiment import (
+    DataConfig,
+    ExperimentConfig,
+    OptimConfig,
+    SegFlowModelConfig,
+)
+from csof_tpu.parallel.mesh import batch_sharding, make_mesh, shard_batch
+from csof_tpu.training import checkpoint as ckpt
+from csof_tpu.training.schedules import build_optimizer, poly_schedule
+from csof_tpu.training.trainer import Trainer
+
+
+def test_mesh_and_sharding():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh()
+    assert mesh.shape == {"data": 8, "model": 1}
+    batch = {"x": np.zeros((16, 4), np.float32)}
+    sharded = shard_batch(batch, mesh)
+    assert sharded["x"].sharding.spec == batch_sharding(mesh).spec
+
+
+def test_poly_schedule_matches_reference_formula():
+    s = poly_schedule(0.01, 1000, 0.9)
+    assert s(0) == pytest.approx(0.01)
+    assert s(500) == pytest.approx(0.01 * (0.5**0.9))
+
+
+def seg_config():
+    return ExperimentConfig(
+        model="unet2d",
+        max_num_epochs=2,
+        num_batches_per_epoch=3,
+        num_val_batches_per_epoch=2,
+        deep_supervision=True,
+        optim=OptimConfig(optimizer="sgd", scheduler="poly", initial_lr=0.05),
+    )
+
+
+def seg_batches(batch=8):
+    rng = np.random.RandomState(0)
+    while True:
+        x = rng.rand(batch, 16, 16, 1).astype(np.float32)
+        y = np.zeros((batch, 16, 16), np.int32)
+        y[:, 4:12, 4:12] = 1
+        x[:, 4:12, 4:12, 0] += 2.0
+        yield {"data": x, "seg": y}
+
+
+def test_seg_trainer_runs_and_improves(tmp_path):
+    cfg = seg_config()
+    it = seg_batches()
+    tr = Trainer(cfg, tmp_path, num_classes=2, example_batch=next(it))
+    # shrink the model for test speed
+    hist = tr.run_training(it, seg_batches(), log_fn=lambda s: None)
+    assert len(hist.train_losses) == 2
+    assert hist.train_losses[-1] <= hist.train_losses[0] + 0.05
+    assert (tmp_path / ckpt.FINAL).exists()
+    assert hist.eval_metrics, "online fg-dice must be tracked"
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = seg_config()
+    it = seg_batches()
+    tr = Trainer(cfg, tmp_path, num_classes=2, example_batch=next(it))
+    tr.run_iteration(next(it))
+    tr.epoch = 7
+    tr.save_checkpoint(ckpt.LATEST)
+    p_before = jax.device_get(tr.state.params)
+
+    tr2 = Trainer(cfg, tmp_path, num_classes=2, example_batch=next(it))
+    meta = tr2.load_checkpoint(ckpt.LATEST)
+    assert tr2.epoch == 7
+    p_after = jax.device_get(tr2.state.params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=0), p_before, p_after)
+
+
+def test_segflow_trainer_step(tmp_path):
+    cfg = ExperimentConfig(
+        model="segflow",
+        max_num_epochs=1,
+        num_batches_per_epoch=2,
+        num_val_batches_per_epoch=1,
+        segflow=SegFlowModelConfig(
+            out_encoder_dims=(8, 16),
+            d_model=16,
+            bottleneck_heads=2,
+            dim_feedforward=32,
+            corr_radius=(2, 2),
+            corr_stride=(1, 1),
+            dtype="float32",
+        ),
+        data=DataConfig(video_length=3, batch_size=8),
+    )
+
+    def batches():
+        rng = np.random.RandomState(0)
+        while True:
+            video = rng.rand(8, 3, 16, 16, 1).astype(np.float32)
+            seg = -np.ones((8, 3, 16, 16), np.int32)
+            seg[:, 0] = 1
+            mask = np.zeros((8, 3), np.float32)
+            mask[:, 0] = 1
+            yield {"video": video, "seg": seg, "labeled_mask": mask}
+
+    it = batches()
+    tr = Trainer(cfg, tmp_path, num_classes=4, example_batch=next(it))
+    loss, aux = tr.run_iteration(next(it))
+    assert np.isfinite(loss)
+    assert "ncc" in aux and np.isfinite(float(aux["ncc"]))
