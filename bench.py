@@ -1,0 +1,81 @@
+"""Benchmark: cine-MRI frames/sec/chip for the joint seg+flow model.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "frames/sec/chip", "vs_baseline": N}
+
+Protocol mirrors the reference's throughput hook
+(ref: nnunet/training/network_training/nnMTLTrainerV2.py:951-977
+`get_throughput`: warmup + N timed reps at fixed input size) but measures
+the full joint seg+flow video forward (SegFlow at ACDC geometry: 128x128
+heart ROI crops, video_length frames), which is the BASELINE.json north-star
+metric.
+
+`vs_baseline` compares against REF_GPU_FPS, our running estimate of the
+reference SegFlowGaussian inference throughput on its published hardware
+(V100-16GB, ref: jean_zay_script_middle_video.sh). The repo ships no
+published numbers (BASELINE.md) — this estimate derives from the reference's
+training protocol (video_length 6, batch 1, 384^2 at ~1 it/s scale on V100)
+and should be replaced by a direct GPU measurement when hardware is
+available.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_GPU_FPS = 25.0  # estimated reference seg+flow frames/sec on V100 (see docstring)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.config.experiment import SegFlowModelConfig
+    from csof_tpu.models.segflow import SegFlow
+
+    cfg = SegFlowModelConfig()  # flagship defaults (bf16 compute)
+    model = SegFlow(cfg=cfg, num_classes=4)
+
+    # ACDC-like inference geometry: batch of depth slices x cine frames at
+    # the 128^2 heart ROI (ref: video.yaml crop sizes; SegFlowGaussian.py:121-135)
+    batch, t, hw = 4, 12, 128
+    rng = np.random.RandomState(0)
+    videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
+
+    params = model.init(jax.random.PRNGKey(0), videos[0])
+
+    @jax.jit
+    def forward(videos):
+        out = jax.vmap(lambda v: model.apply(params, v))(videos)
+        return out["seg_logits"], out["cum_flow"]
+
+    # warmup / compile
+    seg, flow = forward(videos)
+    jax.block_until_ready((seg, flow))
+
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        seg, flow = forward(videos)
+    jax.block_until_ready((seg, flow))
+    dt = time.perf_counter() - t0
+
+    frames = batch * t * reps
+    fps = frames / dt
+    print(
+        json.dumps(
+            {
+                "metric": "cine-MRI frames/sec/chip (seg+flow)",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / REF_GPU_FPS, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

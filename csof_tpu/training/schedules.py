@@ -28,7 +28,7 @@ def cosine_with_warmup(initial_lr: float, total_steps: int, warmup_percent: floa
         init_value=initial_lr * 1e-2,
         peak_value=initial_lr,
         warmup_steps=warmup,
-        decay_steps=total_steps,
+        decay_steps=max(total_steps, warmup + 1),
         end_value=eta_min,
     )
 
