@@ -1,0 +1,270 @@
+"""Command-line surface.
+
+Capability parity with the reference's console scripts (ref: setup.py:29-53 —
+nnUNet_convert_decathlon_task, nnUNet_plan_and_preprocess, nnUNet_train,
+nnUNet_predict, nnUNet_ensemble, nnUNet_evaluate_folder, …) plus the fork's
+analysis scripts (compute_jacobian/save_strain/throughput).
+
+Commands:
+  csof_convert_acdc        raw ACDC (or synthetic phantom) -> task layout
+  csof_plan_and_preprocess crop + analyze + plan + preprocess
+  csof_train               train any model kind from an experiment YAML
+  csof_predict             sliding-window seg inference on a folder
+  csof_evaluate            folder Dice/HD/ASSD summary.json
+  csof_ensemble            average softmax npz across model outputs
+  csof_strain / csof_jacobian  analysis over Flow/Registered/Segmentation trees
+  csof_throughput          frames/sec/chip benchmark (bench.py protocol)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+
+def convert_acdc_entry(argv=None):
+    from csof_tpu.data.conversion.acdc import convert_acdc, make_synthetic_acdc
+
+    p = argparse.ArgumentParser("csof_convert_acdc")
+    p.add_argument("-i", "--input", help="ACDC root (patient*/ dirs)")
+    p.add_argument("-o", "--output", required=True, help="task output dir")
+    p.add_argument("--synthetic", type=int, default=0, help="generate N phantom patients instead")
+    a = p.parse_args(argv)
+    if not a.input and not a.synthetic:
+        p.error("provide -i/--input (ACDC root) or --synthetic N")
+    src = a.input
+    if a.synthetic:
+        src = Path(a.output).parent / "synthetic_raw"
+        make_synthetic_acdc(src, num_patients=a.synthetic)
+    dj = convert_acdc(src, a.output)
+    print(f"converted {dj['numTraining']} cases -> {a.output}")
+
+
+def plan_and_preprocess_entry(argv=None):
+    from csof_tpu.data.analysis import analyze_dataset
+    from csof_tpu.data.cropping import run_cropping
+    from csof_tpu.data.planning import ExperimentPlanner
+    from csof_tpu.data.preprocessing import Preprocessor
+
+    p = argparse.ArgumentParser("csof_plan_and_preprocess")
+    p.add_argument("-t", "--task-dir", required=True)
+    p.add_argument("-o", "--output", required=True, help="preprocessed output root")
+    p.add_argument("--num-workers", type=int, default=4)
+    a = p.parse_args(argv)
+    task_dir, out = Path(a.task_dir), Path(a.output)
+    dj = json.loads((task_dir / "dataset.json").read_text())
+    num_mod = len(dj["modality"])
+    cases = []
+    for item in dj["training"]:
+        case = Path(item["image"]).name.replace(".nii.gz", "")
+        imgs = sorted((task_dir / "imagesTr").glob(f"{case}_*.nii.gz"))
+        label = task_dir / "labelsTr" / f"{case}.nii.gz"
+        cases.append((case, [str(i) for i in imgs], str(label) if label.exists() else None))
+    cropped = out / "cropped"
+    run_cropping(cases, cropped, num_workers=a.num_workers)
+    props = analyze_dataset(cropped, num_modalities=num_mod, num_workers=a.num_workers)
+    planner = ExperimentPlanner(props, task_dir.name)
+    plans = planner.plan(num_mod, {int(k): v for k, v in dj["modality"].items()})
+    for key, pl in plans.items():
+        pdir = out / f"preprocessed_{key}"
+        pdir.mkdir(parents=True, exist_ok=True)
+        pl.to_json(out / f"plans_{key.upper()}.json")
+        Preprocessor(pl).run(cropped, pdir, num_workers=a.num_workers)
+    print(f"planned + preprocessed {len(cases)} cases -> {out}")
+
+
+def train_entry(argv=None):
+    from csof_tpu.config.experiment import ExperimentConfig, load_experiment_config
+    from csof_tpu.config.plans import Plans
+    from csof_tpu.data.dataset import do_split, load_dataset, unpack_dataset
+    from csof_tpu.data.loaders import SegPatchLoader
+    from csof_tpu.training.restore import save_trainer_sidecar
+    from csof_tpu.training.trainer import Trainer
+
+    p = argparse.ArgumentParser("csof_train")
+    p.add_argument("-c", "--config", help="experiment YAML (defaults used if absent)")
+    p.add_argument("-p", "--preprocessed", required=True, help="preprocessed root from plan_and_preprocess")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("-f", "--fold", type=int, default=0)
+    p.add_argument("--max-epochs", type=int)
+    p.add_argument("--continue-training", action="store_true")
+    a = p.parse_args(argv)
+
+    config = load_experiment_config(a.config) if a.config else ExperimentConfig(model="unet2d")
+    if a.fold is not None:
+        config.fold = a.fold
+    pre_root = Path(a.preprocessed)
+    key = "2d" if config.model == "unet2d" else "3d"
+    plans = Plans.from_json(pre_root / f"plans_{key.upper()}.json")
+    pre_dir = pre_root / f"preprocessed_{key}"
+    unpack_dataset(pre_dir)
+    ds = load_dataset(pre_dir)
+    tr_keys, va_keys = do_split(list(ds), config.fold, splits_file=pre_root / "splits.pkl")
+    sp = plans.stage(0)
+    tr_loader = SegPatchLoader({k: ds[k] for k in tr_keys}, sp.patch_size, sp.batch_size,
+                              num_modalities=plans.num_modalities, seed=config.seed)
+    va_loader = SegPatchLoader({k: ds[k] for k in va_keys}, sp.patch_size, sp.batch_size,
+                              num_modalities=plans.num_modalities, seed=config.seed + 1)
+    out = Path(a.output) / f"fold_{config.fold}"
+    trainer = Trainer(config, out, plans=plans, example_batch=next(tr_loader))
+    save_trainer_sidecar(out, config, plans, plans.num_classes_with_background)
+    if a.continue_training:
+        trainer.load_checkpoint()
+    trainer.run_training(iter(tr_loader), iter(va_loader), max_epochs=a.max_epochs)
+    print(f"training done -> {out}")
+
+
+def predict_entry(argv=None):
+    import jax
+
+    from csof_tpu.config.plans import Plans
+    from csof_tpu.data.preprocessing import Preprocessor
+    from csof_tpu.inference.export import save_segmentation_from_softmax
+    from csof_tpu.inference.predictor import PredictorConfig, SlidingWindowPredictor
+    from csof_tpu.training.restore import restore_trainer
+
+    p = argparse.ArgumentParser("csof_predict")
+    p.add_argument("-m", "--model-dir", required=True, help="fold_N training output dir")
+    p.add_argument("-i", "--input", required=True, help="folder of *_0000.nii.gz")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--step-size", type=float, default=0.5)
+    p.add_argument("--disable-tta", action="store_true")
+    p.add_argument("--checkpoint", default=None)
+    a = p.parse_args(argv)
+
+    model_dir = Path(a.model_dir)
+    plans = Plans.from_json(model_dir / "plans.json")
+    sp = plans.stage(0)
+    pre = Preprocessor(plans)
+
+    in_dir, out_dir = Path(a.input), Path(a.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    case_files: dict[str, list[Path]] = {}
+    for f in sorted(in_dir.glob("*_*.nii.gz")):
+        case = f.name.rsplit("_", 1)[0]
+        case_files.setdefault(case, []).append(f)
+
+    # restore net params
+    first_files = next(iter(case_files.values()))
+    data, seg, props = pre.run_case_from_files([str(x) for x in first_files], None)
+    example = _example_seg_batch(data, sp)
+    trainer = restore_trainer(model_dir, example, checkpoint_name=a.checkpoint)
+    net = trainer.model
+    params = trainer.state.params
+
+    def apply_fn(p_, x):
+        out = net.apply(p_, x)
+        return out[0] if isinstance(out, tuple) else out
+
+    cfg = PredictorConfig(
+        patch_size=tuple(sp.patch_size),
+        num_classes=plans.num_classes_with_background,
+        step_size=a.step_size,
+        do_mirroring=not a.disable_tta,
+    )
+    predictor = SlidingWindowPredictor(apply_fn, cfg)
+
+    for case, files in case_files.items():
+        data, _, props = pre.run_case_from_files([str(x) for x in files], None)
+        if len(sp.patch_size) == 2:
+            _, softmax = predictor.predict_2d_stack(params, data)
+        else:
+            _, softmax = predictor.predict(params, data)
+        save_segmentation_from_softmax(softmax, out_dir / f"{case}.nii.gz", props)
+        print(f"predicted {case}")
+
+
+def _example_seg_batch(data, sp):
+    patch = tuple(sp.patch_size)
+    c = data.shape[0]
+    x = np.zeros((1, *patch, c), np.float32)
+    y = np.zeros((1, *patch), np.int32)
+    return {"data": x, "seg": y}
+
+
+def evaluate_entry(argv=None):
+    from csof_tpu.evaluation.evaluator import aggregate_scores
+
+    p = argparse.ArgumentParser("csof_evaluate")
+    p.add_argument("-p", "--pred", required=True)
+    p.add_argument("-r", "--ref", required=True)
+    p.add_argument("-l", "--labels", type=int, nargs="+", required=True)
+    p.add_argument("-o", "--output", default=None)
+    a = p.parse_args(argv)
+    pred_dir, ref_dir = Path(a.pred), Path(a.ref)
+    pairs = []
+    for f in sorted(pred_dir.glob("*.nii.gz")):
+        r = ref_dir / f.name
+        if r.exists():
+            pairs.append((str(f), str(r)))
+    if not pairs:
+        p.error(f"no matching prediction/reference pairs between {pred_dir} and {ref_dir}")
+    out = a.output or (pred_dir / "summary.json")
+    res = aggregate_scores(pairs, a.labels, json_output_file=out)
+    print(json.dumps(res["mean"], indent=2))
+
+
+def ensemble_entry(argv=None):
+    p = argparse.ArgumentParser("csof_ensemble")
+    p.add_argument("-f", "--folders", nargs="+", required=True, help="folders with <case>.npz softmax dumps")
+    p.add_argument("-o", "--output", required=True)
+    a = p.parse_args(argv)
+    out = Path(a.output)
+    out.mkdir(parents=True, exist_ok=True)
+    folders = [Path(f) for f in a.folders]
+    cases = sorted({f.stem for f in folders[0].glob("*.npz")})
+    for case in cases:
+        acc = None
+        for folder in folders:
+            sm = np.load(folder / f"{case}.npz")["softmax"]
+            acc = sm if acc is None else acc + sm
+        acc = acc / len(folders)
+        np.savez_compressed(out / f"{case}.npz", softmax=acc)
+        np.save(out / f"{case}_seg.npy", acc.argmax(0).astype(np.uint8))
+    print(f"ensembled {len(cases)} cases from {len(folders)} models")
+
+
+def strain_entry(argv=None):
+    from csof_tpu.analysis.flow_analysis import analyze_prediction_tree, write_strain_csv
+
+    p = argparse.ArgumentParser("csof_strain")
+    p.add_argument("-i", "--input", required=True, help="prediction tree root (Flow/ Registered/ Segmentation/)")
+    p.add_argument("-o", "--output", default=None)
+    a = p.parse_args(argv)
+    out = a.output or (Path(a.input) / "analysis.json")
+    report = analyze_prediction_tree(a.input, out)
+    write_strain_csv(report, Path(out).with_suffix(".csv"))
+    print(f"analysis -> {out}")
+
+
+def jacobian_entry(argv=None):
+    strain_entry(argv)  # same tree analysis covers jacobian + strain
+
+
+def throughput_entry(argv=None):
+    import bench
+
+    bench.main()
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "--help"
+    dispatch = {
+        "convert_acdc": convert_acdc_entry,
+        "plan_and_preprocess": plan_and_preprocess_entry,
+        "train": train_entry,
+        "predict": predict_entry,
+        "evaluate": evaluate_entry,
+        "ensemble": ensemble_entry,
+        "strain": strain_entry,
+        "jacobian": jacobian_entry,
+        "throughput": throughput_entry,
+    }
+    if cmd in dispatch:
+        dispatch[cmd](sys.argv[2:])
+    else:
+        print("commands:", ", ".join(dispatch))

@@ -64,6 +64,9 @@ def do_split(
         with open(splits_file, "rb") as f:
             splits = pickle.load(f)
     if splits is None:
+        n_splits = min(n_splits, len(case_ids))
+        if n_splits < 2:
+            return case_ids, case_ids
         kf = KFold(n_splits=n_splits, shuffle=True, random_state=seed)
         splits = []
         for tr_idx, va_idx in kf.split(case_ids):
