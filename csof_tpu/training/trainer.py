@@ -289,8 +289,18 @@ class Trainer:
         train_iter: Iterator[dict],
         val_iter: Iterator[dict] | None = None,
         max_epochs: int | None = None,
-        log_fn: Callable[[str], None] = print,
+        log_fn: Callable[[str], None] | None = None,
+        tensorboard: bool = False,
     ):
+        from csof_tpu.utils.logging import TrainingLog, plot_progress
+
+        if log_fn is None:
+            log_fn = TrainingLog(self.output_folder)
+        tb = None
+        if tensorboard:
+            from csof_tpu.utils.visualization import TensorBoardVisualizer
+
+            tb = TensorBoardVisualizer(self.output_folder / "tb")
         cfg = self.config
         max_epochs = max_epochs or cfg.max_num_epochs
         train_loss_ma = None
@@ -353,9 +363,27 @@ class Trainer:
                 + (f" fg-dice {self.history.eval_metrics[-1]:.4f}" if self.history.eval_metrics else "")
                 + f" ({self.history.epoch_times[-1]:.1f}s)"
             )
+            if tb is not None:
+                scalars = {"loss/train": self.history.train_losses[-1]}
+                if self.history.val_losses:
+                    scalars["loss/val"] = self.history.val_losses[-1]
+                if self.history.eval_metrics:
+                    scalars["metric/fg_dice"] = self.history.eval_metrics[-1]
+                tb.log_scalars(scalars, self.epoch)
+            try:
+                plot_progress(
+                    self.output_folder,
+                    self.history.train_losses,
+                    self.history.val_losses,
+                    self.history.eval_metrics,
+                )
+            except Exception:
+                pass  # plotting must never kill training (ref retry spirit)
             if self.epoch - best_epoch > self.patience:
                 log_fn(f"early stop: no improvement for {self.patience} epochs")
                 break
+        if tb is not None:
+            tb.close()
         self.save_checkpoint(ckpt.FINAL)
         return self.history
 
