@@ -91,18 +91,16 @@ class SegPatchLoader:
                 self.rng.randint(0, max(1, s))
                 for s in spatial
             ]
-        # patch window centered on `center`, zero-padded past borders
-        out = np.zeros((arr.shape[0], *self.patch_size), np.float32)
-        src_slices, dst_slices = [slice(None)], [slice(None)]
-        for d in range(nd):
-            lo = int(center[d]) - self.patch_size[d] // 2
-            hi = lo + self.patch_size[d]
-            src_lo, src_hi = max(lo, 0), min(hi, spatial[d])
-            dst_lo = src_lo - lo
-            dst_hi = dst_lo + (src_hi - src_lo)
-            src_slices.append(slice(src_lo, src_hi))
-            dst_slices.append(slice(dst_lo, dst_hi))
-        out[tuple(dst_slices)] = arr[tuple(src_slices)]
+        # patch window centered on `center`, zero-padded past borders —
+        # multithreaded C++ gather (csof_tpu.native), numpy fallback inside
+        from csof_tpu.native import extract_patches_2d, extract_patches_3d
+
+        extract = extract_patches_2d if nd == 2 else extract_patches_3d
+        out = extract(
+            np.ascontiguousarray(arr, np.float32),
+            np.asarray([center], np.int64),
+            self.patch_size,
+        )[0]
         data_p, seg_p = out[: self.num_modalities], out[-1]
         seg_p = np.maximum(seg_p, 0)  # -1 nonzero-mask -> background
         return data_p, seg_p.astype(np.int32)
