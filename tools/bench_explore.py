@@ -1,0 +1,45 @@
+"""Perf exploration on the real TPU: throughput vs batch/dtype/components."""
+
+import json
+import time
+
+import numpy as np
+
+
+def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5):
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.config.experiment import SegFlowModelConfig
+    from csof_tpu.models.segflow import SegFlow
+
+    cfg = SegFlowModelConfig(**cfg_kwargs)
+    model = SegFlow(cfg=cfg, num_classes=4)
+    rng = np.random.RandomState(0)
+    videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), videos[0])
+
+    @jax.jit
+    def forward(videos):
+        out = jax.vmap(lambda v: model.apply(params, v))(videos)
+        return out["seg_logits"], out["cum_flow"]
+
+    out = forward(videos)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = forward(videos)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    fps = batch * t * reps / dt
+    print(json.dumps({"name": name, "batch": batch, "fps": round(fps, 1)}), flush=True)
+    return fps
+
+
+if __name__ == "__main__":
+    base = {}
+    time_config("base_b4", base, batch=4)
+    time_config("base_b16", base, batch=16)
+    time_config("f32_b4", {"dtype": "float32"}, batch=4)
+    time_config("no_costvol_b4", {"use_cost_volume": False}, batch=4)
+    time_config("no_gru_b4", {"use_gru": False}, batch=4)
