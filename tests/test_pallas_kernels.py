@@ -1,0 +1,40 @@
+"""Pallas kernels vs jnp reference implementations (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csof_tpu.ops.correlation import local_correlation_volume
+from csof_tpu.ops.losses import ncc_loss
+from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
+from csof_tpu.ops.pallas.ncc import ncc_loss_pallas, ncc_map_pallas
+
+
+def test_pallas_corr_matches_reference():
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.rand(16, 16, 8).astype(np.float32))
+    m = jnp.asarray(rng.rand(16, 16, 8).astype(np.float32))
+    for radius, stride in [(2, 1), (1, 2), (3, 1)]:
+        ref = local_correlation_volume(q, m, radius=radius, stride=stride)
+        out = local_correlation_volume_pallas(q, m, radius=radius, stride=stride, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pallas_ncc_matches_reference():
+    rng = np.random.RandomState(1)
+    a = jnp.asarray(rng.rand(2, 24, 24, 1).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 24, 24, 1).astype(np.float32))
+    ref = ncc_loss(a, b, window=9)
+    out = ncc_loss_pallas(a, b, window=9, interpret=True)
+    assert float(out) == pytest.approx(float(ref), abs=1e-4)
+    # identical images -> loss ~ 0
+    same = ncc_loss_pallas(a, a, window=9, interpret=True)
+    assert float(same) == pytest.approx(0.0, abs=1e-3)
+
+
+def test_pallas_ncc_map_values():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(16, 16).astype(np.float32))
+    cc = ncc_map_pallas(x, x, window=5, interpret=True)
+    interior = np.asarray(cc)[4:-4, 4:-4]
+    np.testing.assert_allclose(interior, 1.0, atol=1e-3)
