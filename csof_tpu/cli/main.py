@@ -88,6 +88,7 @@ def train_entry(argv=None):
     p = argparse.ArgumentParser("csof_train")
     p.add_argument("-c", "--config", help="experiment YAML (defaults used if absent)")
     p.add_argument("-p", "--preprocessed", required=True, help="preprocessed root from plan_and_preprocess")
+    p.add_argument("-t", "--task-dir", help="converted task dir (required for video/flow models)")
     p.add_argument("-o", "--output", required=True)
     p.add_argument("-f", "--fold", type=int, default=0)
     p.add_argument("--max-epochs", type=int)
@@ -97,6 +98,10 @@ def train_entry(argv=None):
     config = load_experiment_config(a.config) if a.config else ExperimentConfig(model="unet2d")
     if a.fold is not None:
         config.fold = a.fold
+    if config.model in ("segflow", "voxelmorph", "raft"):
+        if not a.task_dir:
+            p.error(f"model '{config.model}' trains on cine videos: pass -t/--task-dir")
+        return _train_video(a, config)
     pre_root = Path(a.preprocessed)
     key = "2d" if config.model == "unet2d" else "3d"
     plans = Plans.from_json(pre_root / f"plans_{key.upper()}.json")
@@ -115,6 +120,60 @@ def train_entry(argv=None):
     if a.continue_training:
         trainer.load_checkpoint()
     trainer.run_training(iter(tr_loader), iter(va_loader), max_epochs=a.max_epochs)
+    print(f"training done -> {out}")
+
+
+def _train_video(a, config):
+    """Flow/video-model training branch of csof_train (the reference's
+    SegFlowGaussian/FinalFlow trainers, driven by the same CLI)."""
+    from csof_tpu.data.loaders import VideoChunkLoader
+    from csof_tpu.data.video_dataset import build_video_datasets, split_videos
+    from csof_tpu.training.restore import save_trainer_sidecar
+    from csof_tpu.training.trainer import Trainer
+
+    videos = build_video_datasets(a.task_dir)
+    if not videos:
+        raise SystemExit(f"no cine videos found under {a.task_dir}/cine")
+    tr_videos, va_videos = split_videos(videos, config.fold)
+
+    def make_loader(vids, seed):
+        return VideoChunkLoader(
+            vids,
+            video_length=config.data.video_length,
+            batch_size=config.data.batch_size,
+            crop_size=config.data.crop_size,
+            seed=seed,
+        )
+
+    def to_model_batch(batch):
+        if config.model == "segflow":
+            return batch
+        if config.model == "voxelmorph":
+            v = batch["video"]
+            return {"moving": v[:, -1], "fixed": v[:, 0]}
+        if config.model == "raft":
+            v = batch["video"]
+            return {"image1": v[:, 0], "image2": v[:, -1]}
+        raise ValueError(config.model)
+
+    def wrap(loader):
+        for batch in loader:
+            yield to_model_batch(batch)
+
+    out = Path(a.output) / f"fold_{config.fold}"
+    tr_it = wrap(make_loader(tr_videos, config.seed))
+    va_it = wrap(make_loader(va_videos or tr_videos, config.seed + 1))
+    first = next(tr_it)
+    trainer = Trainer(config, out, num_classes=4, example_batch=first)
+    save_trainer_sidecar(out, config, None, 4)
+    if a.continue_training:
+        trainer.load_checkpoint()
+
+    def chain(first_batch, it):
+        yield first_batch
+        yield from it
+
+    trainer.run_training(chain(first, tr_it), va_it, max_epochs=a.max_epochs)
     print(f"training done -> {out}")
 
 
@@ -184,6 +243,48 @@ def _example_seg_batch(data, sp):
     x = np.zeros((1, *patch, c), np.float32)
     y = np.zeros((1, *patch), np.int32)
     return {"data": x, "seg": y}
+
+
+def predict_flow_entry(argv=None):
+    """Full-cine seg+flow inference writing Flow/Registered/Segmentation
+    trees (the reference's validate_flow output path,
+    ref: SegFlowGaussian.py(trainer):896-1208)."""
+    import numpy as _np
+
+    from csof_tpu.data.video_dataset import build_video_datasets
+    from csof_tpu.inference.flow_predictor import FlowPredictor, predict_and_export_case
+    from csof_tpu.training.restore import restore_trainer
+
+    p = argparse.ArgumentParser("csof_predict_flow")
+    p.add_argument("-m", "--model-dir", required=True, help="fold_N segflow training dir")
+    p.add_argument("-t", "--task-dir", required=True, help="converted task dir with cine/")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--crop-size", type=int, default=None)
+    p.add_argument("--disable-tta", action="store_true")
+    a = p.parse_args(argv)
+
+    videos = build_video_datasets(a.task_dir)
+    if not videos:
+        p.error(f"no cine videos under {a.task_dir}/cine")
+    first = next(iter(videos.values()))
+    t = first["frames"].shape[0]
+    from csof_tpu.config.experiment import load_experiment_config
+
+    config = load_experiment_config(Path(a.model_dir) / "config.yaml")
+    cs = a.crop_size or config.data.crop_size
+    example = {
+        "video": _np.zeros((1, config.data.video_length, cs, cs, 1), _np.float32),
+        "seg": _np.zeros((1, config.data.video_length, cs, cs), _np.int32),
+        "labeled_mask": _np.zeros((1, config.data.video_length), _np.float32),
+    }
+    trainer = restore_trainer(a.model_dir, example)
+    net, params = trainer.model, trainer.state.params
+    predictor = FlowPredictor(
+        lambda v: net.apply(params, v), crop_size=cs, do_mirroring=not a.disable_tta
+    )
+    for pid, v in videos.items():
+        predict_and_export_case(predictor, v["frames"], {}, a.output, pid)
+        print(f"predicted {pid}")
 
 
 def evaluate_entry(argv=None):
@@ -258,6 +359,7 @@ if __name__ == "__main__":
         "plan_and_preprocess": plan_and_preprocess_entry,
         "train": train_entry,
         "predict": predict_entry,
+        "predict_flow": predict_flow_entry,
         "evaluate": evaluate_entry,
         "ensemble": ensemble_entry,
         "strain": strain_entry,

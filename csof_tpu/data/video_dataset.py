@@ -1,0 +1,56 @@
+"""Cardiac cine video dataset assembly for the flow models.
+
+Builds the per-patient video dict consumed by
+:class:`csof_tpu.data.loaders.VideoChunkLoader` from a converted task folder
+(the `cine/` 4D NIfTIs + ED/ES numbers recorded by the ACDC converter and
+the ED/ES ground-truth segmentations from labelsTr).
+
+Capability parity with the reference's video data path
+(ref: nnunet/training/dataloading/dataset_loading.py DataLoaderPreprocessed
+reading per-frame npys + ed/es numbers from properties; ED/ES numbers
+sourced from Info.cfg by the converter,
+ref: nnunet/dataset_conversion/Task027_...py:23 `get_labeled_frame_nb`).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from csof_tpu.utils.nifti import load_nifti
+
+
+def build_video_datasets(task_dir: str | Path) -> dict[str, dict]:
+    """task_dir: converted task folder with cine/, labelsTr/, dataset.json.
+
+    Returns patient -> {"frames": (T, z, y, x) float32, "seg": (T, z, y, x)
+    int16 with -1 on unlabeled frames (labels only at ED/ES), "ed": int,
+    "es": int} (0-based frame indices).
+    """
+    task_dir = Path(task_dir)
+    dj = json.loads((task_dir / "dataset.json").read_text())
+    ed_es = dj.get("ed_es_numbers", {})
+    videos: dict[str, dict] = {}
+    for cine_file in sorted((task_dir / "cine").glob("*_4d.nii.gz")):
+        pid = cine_file.name.replace("_4d.nii.gz", "")
+        frames = load_nifti(cine_file).data_czyx.astype(np.float32)  # (T, z, y, x)
+        info = ed_es.get(pid)
+        if info is None:
+            continue
+        ed, es = int(info["ed"]) - 1, int(info["es"]) - 1
+        seg = np.full(frames.shape, -1, np.int16)
+        for fnum in (ed, es):
+            gt = task_dir / "labelsTr" / f"{pid}_frame{fnum + 1:02d}.nii.gz"
+            if gt.exists():
+                seg[fnum] = load_nifti(gt).data_czyx.astype(np.int16)
+        videos[pid] = {"frames": frames, "seg": seg, "ed": ed, "es": es}
+    return videos
+
+
+def split_videos(videos: dict[str, dict], fold: int, n_splits: int = 5, seed: int = 12345):
+    from csof_tpu.data.dataset import do_split
+
+    tr, va = do_split(sorted(videos), fold, n_splits=n_splits, seed=seed)
+    return {k: videos[k] for k in tr}, {k: videos[k] for k in va}

@@ -245,6 +245,16 @@ class Trainer:
         raise ValueError(self.config.model)
 
     def initialize(self, example_batch: dict):
+        # the global batch must divide the data axis; clamp the mesh to the
+        # largest compatible divisor (the reference's DDP splits batch per
+        # rank with the same constraint, ref: nnUNetTrainerV2_DDP.py:74-116)
+        batch_dim = int(jax.tree.leaves(example_batch)[0].shape[0])
+        data_size = self.mesh.shape["data"]
+        if batch_dim % data_size != 0:
+            from csof_tpu.parallel.mesh import make_mesh
+
+            n_data = next(d for d in range(min(batch_dim, data_size), 0, -1) if batch_dim % d == 0)
+            self.mesh = make_mesh(n_data=n_data, n_model=self.mesh.shape["model"])
         rng = jax.random.PRNGKey(self.config.seed)
         params = self.model.init(rng, *self._example_input(example_batch))
         self.state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
