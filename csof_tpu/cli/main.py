@@ -193,6 +193,9 @@ def predict_entry(argv=None):
     p.add_argument("--step-size", type=float, default=0.5)
     p.add_argument("--disable-tta", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--num-parts", type=int, default=1,
+                   help="shard the case list across N workers (ref predict_simple.py --num_parts)")
+    p.add_argument("--part-id", type=int, default=0)
     a = p.parse_args(argv)
 
     model_dir = Path(a.model_dir)
@@ -206,6 +209,11 @@ def predict_entry(argv=None):
     for f in sorted(in_dir.glob("*_*.nii.gz")):
         case = f.name.rsplit("_", 1)[0]
         case_files.setdefault(case, []).append(f)
+    # embarrassingly-parallel case sharding across workers/hosts
+    names = sorted(case_files)[a.part_id :: a.num_parts]
+    case_files = {k: case_files[k] for k in names}
+    if not case_files:
+        p.error(f"no cases for part {a.part_id}/{a.num_parts} in {in_dir}")
 
     # restore net params
     first_files = next(iter(case_files.values()))

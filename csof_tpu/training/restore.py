@@ -27,6 +27,33 @@ def save_trainer_sidecar(folder: str | Path, config: ExperimentConfig, plans: Pl
     (folder / "meta.json").write_text(json.dumps({"num_classes": num_classes}))
 
 
+def load_pretrained_weights(params, pretrained_params, verbose: bool = False):
+    """Shape-checked partial weight transfer: copy every leaf whose path AND
+    shape match; keep the fresh init elsewhere
+    (ref: nnunet/run/load_pretrained_weights.py:62)."""
+    import jax
+
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(params)[0])
+    flat_old = dict(jax.tree_util.tree_flatten_with_path(pretrained_params)[0])
+    loaded, skipped = 0, 0
+    out = {}
+    for path, leaf in flat_new.items():
+        old = flat_old.get(path)
+        if old is not None and getattr(old, "shape", None) == leaf.shape:
+            out[path] = old
+            loaded += 1
+        else:
+            out[path] = leaf
+            skipped += 1
+            if verbose and old is not None:
+                print(f"skip {path}: {getattr(old, 'shape', None)} != {leaf.shape}")
+    treedef = jax.tree_util.tree_structure(params)
+    leaves = [out[p] for p, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    if verbose:
+        print(f"pretrained transfer: {loaded} loaded, {skipped} kept from init")
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def restore_trainer(
     folder: str | Path, example_batch: dict, checkpoint_name: str | None = None, mesh=None
 ) -> Trainer:

@@ -397,6 +397,46 @@ class Trainer:
         self.save_checkpoint(ckpt.FINAL)
         return self.history
 
+    def find_lr(self, train_iter: Iterator[dict], num_iters: int = 1000,
+                init_value: float = 1e-6, final_value: float = 10.0) -> tuple[float, list, list]:
+        """Exponential LR sweep; returns (suggested_lr, lrs, losses)
+        (ref: network_trainer.py:744-816 `find_lr`, fastai recipe: best loss
+        / 10 heuristic, stop on divergence)."""
+        import optax
+
+        mult = (final_value / init_value) ** (1 / num_iters)
+        lrs, losses = [], []
+        best = float("inf")
+        avg = 0.0
+        beta = 0.98
+        lr = init_value
+        params = self.state.params
+        opt = optax.sgd(1.0, momentum=0.9)
+        opt_state = opt.init(params)
+        loss_fn = self.loss_fn
+
+        @jax.jit
+        def step(params, opt_state, batch, lr):
+            (loss, _), grads = jax.value_and_grad(lambda p: loss_fn(p, batch), has_aux=True)(params)
+            updates, opt_state = opt.update(jax.tree.map(lambda g: lr * g, grads), opt_state)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        for i in range(num_iters):
+            batch = jax.tree.map(jnp.asarray, next(train_iter))
+            params, opt_state, loss = step(params, opt_state, batch, lr)
+            loss = float(loss)
+            avg = beta * avg + (1 - beta) * loss
+            smoothed = avg / (1 - beta ** (i + 1))
+            if i > 10 and smoothed > 4 * best:
+                break
+            best = min(best, smoothed)
+            lrs.append(lr)
+            losses.append(smoothed)
+            lr *= mult
+        suggested = lrs[int(np.argmin(losses))] / 10 if lrs else self.config.optim.initial_lr
+        return suggested, lrs, losses
+
     # -- checkpointing ------------------------------------------------------
 
     def save_checkpoint(self, name: str = ckpt.LATEST):
