@@ -93,6 +93,8 @@ def train_entry(argv=None):
     p.add_argument("-f", "--fold", type=int, default=0)
     p.add_argument("--max-epochs", type=int)
     p.add_argument("--continue-training", action="store_true")
+    p.add_argument("--validation-only", action="store_true",
+                   help="skip training; run fold validation from the checkpoint")
     a = p.parse_args(argv)
 
     config = load_experiment_config(a.config) if a.config else ExperimentConfig(model="unet2d")
@@ -117,6 +119,14 @@ def train_entry(argv=None):
     out = Path(a.output) / f"fold_{config.fold}"
     trainer = Trainer(config, out, plans=plans, example_batch=next(tr_loader))
     save_trainer_sidecar(out, config, plans, plans.num_classes_with_background)
+    if a.validation_only:
+        from csof_tpu.training.validation import validate_fold
+
+        trainer.load_checkpoint()
+        summary = validate_fold(trainer, plans, pre_dir, config.fold, out / "validation_raw",
+                                splits_file=pre_root / "splits.pkl")
+        print(json.dumps(summary["mean"], indent=2))
+        return
     if a.continue_training:
         trainer.load_checkpoint()
     trainer.run_training(iter(tr_loader), iter(va_loader), max_epochs=a.max_epochs)

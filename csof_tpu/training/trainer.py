@@ -263,8 +263,20 @@ class Trainer:
         self.state = jax.device_put(self.state, rep)
 
         loss_fn = self.loss_fn
+        # on-device augmentation inside the step for 2D seg training
+        # (replaces the reference's MultiThreadedAugmenter worker processes)
+        augment_2d = (
+            self.config.model == "unet2d" and self.config.data.do_data_aug
+        )
+        base_key = jax.random.PRNGKey(self.config.seed + 17)
 
         def train_step(state, batch):
+            if augment_2d:
+                from csof_tpu.data.augment import augment_batch_2d
+
+                key = jax.random.fold_in(base_key, state.step)
+                data, seg = augment_batch_2d(key, batch["data"], batch["seg"])
+                batch = {**batch, "data": data, "seg": seg}
             (loss, aux), grads = jax.value_and_grad(lambda p: loss_fn(p, batch), has_aux=True)(
                 state.params
             )
