@@ -84,7 +84,8 @@ def lookup_correlation(
 
 
 def local_correlation_volume(
-    query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1
+    query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
+    impl: str = "auto",
 ) -> jnp.ndarray:
     """Local correlation between two (H, W, C) feature maps.
 
@@ -94,6 +95,23 @@ def local_correlation_volume(
     ref: SegFlowGaussian.py:255-269). Computed with `pltpu`-friendly shifted
     products (rolls + multiplies) instead of gathers.
     """
+    if impl == "auto":
+        # pallas path measured faster on v5e but gated until verified per
+        # environment (set CSOF_PALLAS_CORR=0 to force the jnp path)
+        import os
+
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("CSOF_PALLAS_CORR", "1") == "1"
+        )
+        impl = "pallas" if use_pallas else "jnp"
+    if impl == "pallas":
+        # VMEM-resident kernel: one HBM read of query+memory instead of
+        # (2r+1)^2 shifted slices (measured ~1/3 of SegFlow runtime on v5e
+        # with the jnp path; see tools/bench_explore.py)
+        from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
+
+        return local_correlation_volume_pallas(query, memory, radius, stride)
     h, w, c = query.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(c))
     k = 2 * radius + 1
