@@ -106,9 +106,16 @@ def ssim_report(registered: np.ndarray, target: np.ndarray) -> dict:
     return {"per_frame_ssim": vals, "mean_ssim": float(np.mean(vals))}
 
 
-def analyze_prediction_tree(root: str | Path, out_file: str | Path | None = None) -> dict:
+def analyze_prediction_tree(
+    root: str | Path, out_file: str | Path | None = None,
+    gt_seg_dir: str | Path | None = None,
+) -> dict:
     """Analyze a Flow/Registered/Segmentation prediction tree (the layout
-    written by csof_tpu.inference.flow_predictor.predict_and_export_case)."""
+    written by csof_tpu.inference.flow_predictor.predict_and_export_case).
+
+    With `gt_seg_dir` (per-case GT label 4D NIfTIs), also computes the
+    contour tracking error by advecting the frame-0 GT contour through the
+    predicted flows (ref: get_strain.py / compute_contour_metrics*.py)."""
     from csof_tpu.utils.nifti import load_nifti
 
     root = Path(root)
@@ -122,6 +129,15 @@ def analyze_prediction_tree(root: str | Path, out_file: str | Path | None = None
         entry = {"jacobian": jacobian_report(flow, seg)}
         if seg is not None:
             entry["strain"] = strain_report(seg)
+        if gt_seg_dir is not None:
+            gt_file = Path(gt_seg_dir) / f"{case}.nii.gz"
+            if gt_file.exists():
+                gt = load_nifti(gt_file).data_czyx  # (T, D, H, W)
+                mid = gt.shape[1] // 2
+                entry["contour_tracking"] = {
+                    name: contour_error_report(flow[:, mid], gt[:, mid], label=label)
+                    for name, label in (("LV", 3), ("RV", 1))
+                }
         results[case] = entry
     if out_file:
         Path(out_file).write_text(json.dumps(results, indent=2))

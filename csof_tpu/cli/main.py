@@ -203,6 +203,8 @@ def predict_entry(argv=None):
     p.add_argument("--step-size", type=float, default=0.5)
     p.add_argument("--disable-tta", action="store_true")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--save-npz", action="store_true",
+                   help="also dump softmax npz for csof_ensemble (ref --save_npz)")
     p.add_argument("--num-parts", type=int, default=1,
                    help="shard the case list across N workers (ref predict_simple.py --num_parts)")
     p.add_argument("--part-id", type=int, default=0)
@@ -251,7 +253,8 @@ def predict_entry(argv=None):
             _, softmax = predictor.predict_2d_stack(params, data)
         else:
             _, softmax = predictor.predict(params, data)
-        save_segmentation_from_softmax(softmax, out_dir / f"{case}.nii.gz", props)
+        save_segmentation_from_softmax(softmax, out_dir / f"{case}.nii.gz", props,
+                                       save_npz=a.save_npz)
         print(f"predicted {case}")
 
 
@@ -353,9 +356,11 @@ def strain_entry(argv=None):
     p = argparse.ArgumentParser("csof_strain")
     p.add_argument("-i", "--input", required=True, help="prediction tree root (Flow/ Registered/ Segmentation/)")
     p.add_argument("-o", "--output", default=None)
+    p.add_argument("--gt-seg", default=None,
+                   help="folder of per-case GT 4D label NIfTIs for contour tracking error")
     a = p.parse_args(argv)
     out = a.output or (Path(a.input) / "analysis.json")
-    report = analyze_prediction_tree(a.input, out)
+    report = analyze_prediction_tree(a.input, out, gt_seg_dir=a.gt_seg)
     write_strain_csv(report, Path(out).with_suffix(".csv"))
     print(f"analysis -> {out}")
 
