@@ -165,6 +165,47 @@ def downsample_seg_for_ds(
     return out[:-1]  # heads exist down to (num_pool-1) scales below full res
 
 
+def generalized_dice_loss(
+    logits: jnp.ndarray, target: jnp.ndarray, smooth: float = 1e-5
+) -> jnp.ndarray:
+    """GDL: class statistics weighted by 1/volume^2 (ref: dice_loss.py:26
+    `GDL`), so small structures count as much as large ones."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    axes = tuple(range(0, probs.ndim - 1))
+    tp, fp, fn, _ = get_tp_fp_fn_tn(probs, target, axes=axes)
+    c = probs.shape[-1]
+    y = one_hot(target, c) if target.ndim == probs.ndim - 1 else target
+    vol = jnp.sum(y, axis=axes)
+    w = 1.0 / (vol**2 + 1e-10)
+    numer = jnp.sum(w * tp)
+    denom = jnp.sum(w * (2 * tp + fp + fn))
+    return 1 - 2 * (numer + smooth) / (denom + smooth)
+
+
+def boundary_loss(logits: jnp.ndarray, distance_maps: jnp.ndarray) -> jnp.ndarray:
+    """Boundary loss (Kervadec et al.): mean of softmax probabilities
+    weighted by signed distance maps to the GT boundary (ref: nnunet/lib/
+    boundary.py + boundary_utils.py; maps computed host-side, e.g. with
+    Processor.get_strain_mask / scipy EDT).
+
+    logits: (N, *sp, C); distance_maps: (N, *sp, C) signed distances
+    (positive outside the structure)."""
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.mean(probs * distance_maps)
+
+
+def contour_point_loss(
+    points_pred: jnp.ndarray, points_gt: jnp.ndarray
+) -> jnp.ndarray:
+    """Differentiable symmetric chamfer distance between point sets
+    (the reference's point_loss on warped contour points,
+    ref: video.yaml `point_loss`, get_strain-style contour supervision).
+
+    points_pred/gt: (P, ndim) / (Q, ndim)."""
+    d2 = jnp.sum((points_pred[:, None, :] - points_gt[None, :, :]) ** 2, axis=-1)
+    return (jnp.mean(jnp.min(d2, axis=1)) + jnp.mean(jnp.min(d2, axis=0))) / 2.0
+
+
 # ---------------------------------------------------------------------------
 # Registration / flow losses
 # ---------------------------------------------------------------------------

@@ -298,13 +298,22 @@ class Trainer:
 
     # -- loop ---------------------------------------------------------------
 
+    #: raise on non-finite loss (the anomaly check the reference left
+    #: commented out, ref: SegFlowGaussian.py:2163-2172)
+    nan_guard: bool = True
+
     def run_iteration(self, batch: dict, train: bool = True):
         batch = jax.tree.map(jnp.asarray, batch)
         if train:
             self.state, loss, aux = self._train_step(self.state, batch)
         else:
             loss, aux = self._val_step(self.state, batch)
-        return float(loss), aux
+        loss = float(loss)
+        if self.nan_guard and not np.isfinite(loss):
+            raise FloatingPointError(
+                f"non-finite loss {loss} at epoch {self.epoch} — check data/LR"
+            )
+        return loss, aux
 
     def run_training(
         self,
