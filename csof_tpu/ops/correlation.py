@@ -96,15 +96,16 @@ def local_correlation_volume(
     products (rolls + multiplies) instead of gathers.
     """
     if impl == "auto":
-        # pallas path measured faster on v5e but gated until verified per
-        # environment (set CSOF_PALLAS_CORR=0 to force the jnp path)
+        # CSOF_CORR_IMPL picks jnp | einsum | pallas. v5e notes
+        # (tools/bench_explore.py): the shifted-slice jnp path costs ~1/3 of
+        # SegFlow runtime; the pallas kernel matches numerics standalone but
+        # pallas-inside-vmap(scan) hangs this environment's remote compile
+        # service; einsum maps the contraction onto the MXU via im2col.
         import os
 
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and os.environ.get("CSOF_PALLAS_CORR", "1") == "1"
-        )
-        impl = "pallas" if use_pallas else "jnp"
+        impl = os.environ.get("CSOF_CORR_IMPL", "jnp")
+        if impl not in ("jnp", "einsum", "pallas"):
+            impl = "jnp"
     if impl == "pallas":
         # VMEM-resident kernel: one HBM read of query+memory instead of
         # (2r+1)^2 shifted slices (measured ~1/3 of SegFlow runtime on v5e
@@ -112,6 +113,8 @@ def local_correlation_volume(
         from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
 
         return local_correlation_volume_pallas(query, memory, radius, stride)
+    if impl == "einsum":
+        return _local_corr_einsum(query, memory, radius, stride)
     h, w, c = query.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(c))
     k = 2 * radius + 1
@@ -124,6 +127,30 @@ def local_correlation_volume(
             shifted = jax.lax.dynamic_slice(mem, (oy, ox, 0), (h, w, c))
             outs.append(jnp.sum(query * shifted, axis=-1) * scale)
     return jnp.stack(outs, axis=-1)  # (H, W, (2r+1)^2)
+
+
+def _local_corr_einsum(query, memory, radius: int, stride: int):
+    """MXU formulation: im2col window patches + one per-pixel matvec
+    einsum('hwc,hwck->hwk') — the contraction feeds the MXU as a batched
+    matmul instead of (2r+1)^2 shifted VPU passes."""
+    h, w, c = query.shape
+    k = 2 * radius + 1
+    pad = radius * stride
+    mem = jnp.pad(memory, ((pad, pad), (pad, pad), (0, 0)))
+    # extract k*k dilated patches: (1, H, W, C*k*k) ordered [c, ky, kx]
+    patches = jax.lax.conv_general_dilated_patches(
+        mem[None],
+        filter_shape=(k, k),
+        window_strides=(1, 1),
+        padding="VALID",
+        rhs_dilation=(stride, stride),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )[0].reshape(h, w, c, k * k)
+    out = jnp.einsum(
+        "hwc,hwck->hwk", query.astype(jnp.float32), patches.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    return out / jnp.sqrt(jnp.float32(c))
 
 
 def local_correlation_volume_batch(

@@ -43,3 +43,13 @@ if __name__ == "__main__":
     time_config("f32_b4", {"dtype": "float32"}, batch=4)
     time_config("no_costvol_b4", {"use_cost_volume": False}, batch=4)
     time_config("no_gru_b4", {"use_gru": False}, batch=4)
+
+
+def corr_impl_sweep():
+    """Compare corr implementations at the SegFlow level (set env before jax init)."""
+    import os
+
+    for impl in ("jnp", "einsum"):
+        os.environ["CSOF_CORR_IMPL"] = impl
+        time_config(f"corr_{impl}_b4", {}, batch=4)
+        time_config(f"corr_{impl}_b16", {}, batch=16)
