@@ -113,6 +113,82 @@ class FlowPredictor:
         }
 
 
+def processor_from_seg_model(apply_fn, params, patch_size: tuple[int, int], crop_size: int = 128) -> Processor:
+    """Build the heart-ROI Processor from a trained 2D seg network — the
+    reference's pretrained 'cropping network'
+    (ref: processor.py `discretize:140`, build via adversarial_acdc.yaml)."""
+
+    jitted = jax.jit(lambda p, x: jnp.argmax(apply_fn(p, x), axis=-1))
+
+    def cropping_network(image: np.ndarray) -> np.ndarray:
+        h, w = image.shape
+        ph, pw = patch_size
+        pad_h, pad_w = max(ph - h, 0), max(pw - w, 0)
+        x = np.pad(image, ((0, pad_h), (0, pad_w)))[None, :ph, :pw, None]
+        x = (x - x.mean()) / (x.std() + 1e-8)
+        seg = np.asarray(jitted(params, jnp.asarray(x, jnp.float32)))[0]
+        out = np.zeros((h, w), seg.dtype)
+        hh, ww = min(h, ph), min(w, pw)
+        out[:hh, :ww] = seg[:hh, :ww]
+        return out
+
+    return Processor(crop_size=crop_size, cropping_network=cropping_network)
+
+
+def predict_video_sliding(
+    predictor: FlowPredictor, video: np.ndarray, window: int, overlap: int = 1
+) -> dict:
+    """Temporal sliding-window inference for cycles longer than HBM allows
+    (ref `inference_mode: sliding_window/overlap`, nnunet/video.yaml;
+    assertions at ref: SegFlowGaussian.py:139-141): process windows of
+    `window` frames and chain cumulative flows across windows by composing
+    each window's flow with the carry flow at its anchor frame.
+
+    video: (T, D, H, W). Returns the same dict as predict_video.
+    """
+    from csof_tpu.ops.warp import compose_flows
+
+    t = video.shape[0]
+    assert window >= 2 and 1 <= overlap < window
+    step = window - overlap
+    seg_chunks: list[np.ndarray] = []
+    soft_chunks: list[np.ndarray] = []
+    flow_chunks: list[np.ndarray] = []
+    reg_chunks: list[np.ndarray] = []
+    carry_flow = None  # (D, H, W, 2) cumulative flow at the current anchor
+    t0 = 0
+    while t0 < t - 1 or not flow_chunks:
+        t1 = min(t0 + window, t)
+        chunk = video[t0:t1]
+        if chunk.shape[0] < 2:
+            break
+        res = predictor.predict_video(chunk)
+        start = 0 if t0 == 0 else overlap
+        cum = res["flow"]  # (Tc, D, H, W, 2) flows to the chunk anchor t0
+        if carry_flow is not None:
+            composed = np.empty_like(cum)
+            for ti in range(cum.shape[0]):
+                for d in range(cum.shape[1]):
+                    composed[ti, d] = np.asarray(
+                        compose_flows(jnp.asarray(carry_flow[d]), jnp.asarray(cum[ti, d]))
+                    )
+            cum = composed
+        seg_chunks.append(res["seg"][start:])
+        soft_chunks.append(res["softmax"][:, start:])
+        flow_chunks.append(cum[start:])
+        reg_chunks.append(res["registered"][start:])
+        if t1 >= t:
+            break
+        carry_flow = cum[step]
+        t0 += step
+    return {
+        "seg": np.concatenate(seg_chunks, axis=0)[:t],
+        "softmax": np.concatenate(soft_chunks, axis=1)[:, :t],
+        "flow": np.concatenate(flow_chunks, axis=0)[:t],
+        "registered": np.concatenate(reg_chunks, axis=0)[:t],
+    }
+
+
 def predict_and_export_case(
     predictor: FlowPredictor,
     video: np.ndarray,
