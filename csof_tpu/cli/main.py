@@ -303,8 +303,12 @@ def predict_flow_entry(argv=None):
     predictor = FlowPredictor(
         lambda v: net.apply(params, v), crop_size=cs, do_mirroring=not a.disable_tta
     )
+    from csof_tpu.data.video_dataset import put_ed_first
+
     for pid, v in videos.items():
-        predict_and_export_case(predictor, v["frames"], {}, a.output, pid)
+        # anchor the cumulative flow at the ED frame (ref: predict.py:1165)
+        frames, _, _ = put_ed_first(v["frames"], v["ed"])
+        predict_and_export_case(predictor, frames, {}, a.output, pid)
         print(f"predicted {pid}")
 
 

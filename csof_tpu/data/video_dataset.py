@@ -49,6 +49,22 @@ def build_video_datasets(task_dir: str | Path) -> dict[str, dict]:
     return videos
 
 
+def put_ed_first(frames: np.ndarray, ed_idx: int, seg: np.ndarray | None = None):
+    """Roll the time axis so the ED frame is frame 0 — flow inference anchors
+    the cumulative field at frame 0
+    (ref: nnunet/inference/predict.py:1165 `put_ed_first` +
+    `get_ed_es_indices:1196`). Returns (frames, seg, inverse_roll) where
+    rolling outputs by `inverse_roll` restores acquisition order."""
+    ed_idx = int(ed_idx) % frames.shape[0]
+    rolled = np.roll(frames, -ed_idx, axis=0)
+    seg_rolled = np.roll(seg, -ed_idx, axis=0) if seg is not None else None
+    return rolled, seg_rolled, ed_idx
+
+
+def restore_frame_order(arr: np.ndarray, inverse_roll: int) -> np.ndarray:
+    return np.roll(arr, inverse_roll, axis=0)
+
+
 def split_videos(videos: dict[str, dict], fold: int, n_splits: int = 5, seed: int = 12345):
     from csof_tpu.data.dataset import do_split
 

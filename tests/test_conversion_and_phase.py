@@ -62,3 +62,13 @@ def test_merge_csvs(tmp_path):
     out = merge_csvs([a, b], tmp_path / "merged.csv")
     assert "dice_a" in out.columns and "dice_b" in out.columns
     assert len(out) == 2
+
+
+def test_put_ed_first_roundtrip():
+    from csof_tpu.data.video_dataset import put_ed_first, restore_frame_order
+
+    frames = np.arange(5)[:, None] * np.ones((1, 2))
+    rolled, _, inv = put_ed_first(frames, 3)
+    assert rolled[0, 0] == 3
+    back = restore_frame_order(rolled, inv)
+    np.testing.assert_array_equal(back, frames)
