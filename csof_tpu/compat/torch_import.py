@@ -1,0 +1,131 @@
+"""Import reference nnU-Net (torch) Generic_UNet weights into csof_tpu.
+
+Lets users of the reference bring their trained checkpoints
+(ref: model_{best,final_checkpoint}.model state dicts of
+nnunet/network_architecture/generic_UNet.py Generic_UNet built with the
+nnUNetTrainerV2 recipe) into the flax `GenericUNet` — and doubles as the
+strongest parity check: identical weights must give identical outputs.
+
+Layout mapping (torch -> flax):
+- conv weight (out, in, kh, kw)           -> kernel (kh, kw, in, out)
+- transp-conv weight (in, out, kh, kw)    -> kernel (kh, kw, in, out)
+- InstanceNorm weight/bias                 -> scale/bias
+- conv_blocks_context[d]                   -> StackedConvs_d
+- conv_blocks_context[-1] (two stacked)    -> StackedConvs_{num_pool}
+- tu[u] / conv_blocks_localization[u]      -> ConvTranspose_u / StackedConvs_{num_pool+1+u}
+- seg_outputs[u] (deepest first)           -> seg_head_{level}
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+
+def _conv_w(t):
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def _tconv_w(t):
+    # torch ConvTranspose2d weight: (in, out, kh, kw); lax.conv_transpose
+    # with transpose_kernel=False consumes (kh, kw, in, out) with spatial
+    # axes mirrored relative to torch's scatter convention
+    w = np.transpose(np.asarray(t), (2, 3, 0, 1))
+    return w[::-1, ::-1]
+
+
+def import_generic_unet_weights(
+    state_dict: Mapping[str, "object"], params: dict
+) -> dict:
+    """state_dict: reference torch state dict (cpu tensors/ndarrays);
+    params: init output of csof GenericUNet (to be overwritten in place
+    structure-preservingly). Returns new params dict."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p = params["params"] if "params" in params else params
+    out = _deep_copy(p)
+
+    num_pool = sum(1 for k in sd if _is_ctx_first_conv(k)) - 1
+
+    # encoder + bottleneck
+    for d in range(num_pool + 1):
+        mine = out[f"StackedConvs_{d}"]
+        if d < num_pool:
+            srcs = [
+                (f"conv_blocks_context.{d}.blocks.{i}.conv", f"conv_blocks_context.{d}.blocks.{i}.instnorm")
+                for i in range(_n_blocks(sd, f"conv_blocks_context.{d}.blocks"))
+            ]
+        else:
+            # bottleneck: Sequential of two StackedConvLayers
+            srcs = []
+            for sub in (0, 1):
+                base = f"conv_blocks_context.{d}.{sub}.blocks"
+                for i in range(_n_blocks(sd, base)):
+                    srcs.append((f"{base}.{i}.conv", f"{base}.{i}.instnorm"))
+        _fill_stacked(mine, srcs, sd)
+
+    # decoder
+    u = 0
+    while f"tu.{u}.weight" in sd:
+        tk = out[f"ConvTranspose_{u}"]
+        tk["kernel"] = _tconv_w(sd[f"tu.{u}.weight"]).astype(tk["kernel"].dtype)
+        if "bias" in tk and f"tu.{u}.bias" in sd:
+            tk["bias"] = np.asarray(sd[f"tu.{u}.bias"]).astype(tk["bias"].dtype)
+        mine = out[f"StackedConvs_{num_pool + 1 + u}"]
+        srcs = []
+        for sub in (0, 1):
+            base = f"conv_blocks_localization.{u}.{sub}.blocks"
+            for i in range(_n_blocks(sd, base)):
+                srcs.append((f"{base}.{i}.conv", f"{base}.{i}.instnorm"))
+        _fill_stacked(mine, srcs, sd)
+        # seg head: ref seg_outputs[u] is the DEEPEST first; decoder iter u
+        # emits level = num_pool - 1 - u -> head name seg_head_{level}
+        level = num_pool - 1 - u
+        head = out[f"seg_head_{level}"]
+        head["kernel"] = _conv_w(sd[f"seg_outputs.{u}.weight"]).astype(head["kernel"].dtype)
+        u += 1
+
+    return {"params": out} if "params" in params else out
+
+
+def _is_ctx_first_conv(key: str) -> bool:
+    import re
+
+    return re.fullmatch(r"conv_blocks_context\.\d+(\.0)?\.blocks\.0\.conv\.weight", key) is not None
+
+
+def _n_blocks(sd, base: str) -> int:
+    n = 0
+    while f"{base}.{n}.conv.weight" in sd:
+        n += 1
+    return n
+
+
+def _fill_stacked(mine: dict, srcs, sd):
+    for i, (conv_key, norm_key) in enumerate(srcs):
+        blk = mine[f"ConvNormAct_{i}"]
+        conv = blk["Conv_0"]
+        conv["kernel"] = _conv_w(sd[f"{conv_key}.weight"]).astype(conv["kernel"].dtype)
+        conv["bias"] = np.asarray(sd[f"{conv_key}.bias"]).astype(conv["bias"].dtype)
+        norm = blk["InstanceNorm_0"]
+        norm["scale"] = np.asarray(sd[f"{norm_key}.weight"]).astype(norm["scale"].dtype)
+        norm["bias"] = np.asarray(sd[f"{norm_key}.bias"]).astype(norm["bias"].dtype)
+
+
+def _deep_copy(tree):
+    if isinstance(tree, Mapping):
+        return {k: _deep_copy(v) for k, v in tree.items()}
+    return np.asarray(tree).copy()
+
+
+def load_reference_checkpoint(model_file: str, params: dict) -> dict:
+    """Load a reference `model_*.model` torch checkpoint file and import its
+    network weights (ref checkpoint layout: dict with 'state_dict',
+    ref: network_trainer.py:305-335; DataParallel 'module.' prefixes
+    stripped as in ref: load_checkpoint_ram:418)."""
+    import torch
+
+    ckpt = torch.load(model_file, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = { (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items() }
+    return import_generic_unet_weights(sd, params)

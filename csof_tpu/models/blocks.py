@@ -90,11 +90,15 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # explicit k//2 padding: identical to SAME at stride 1 and identical
+        # to torch's padding=k//2 at stride 2 (XLA SAME pads (0,1) there,
+        # which would break reference-checkpoint parity)
+        pad = [(k // 2, k // 2) for k in self.kernel_size]
         x = nn.Conv(
             self.features,
             kernel_size=tuple(self.kernel_size),
             strides=tuple(self.strides) if self.strides else None,
-            padding="SAME",
+            padding=pad,
             dtype=self.dtype,
             kernel_init=nn.initializers.he_normal(),
         )(x)
