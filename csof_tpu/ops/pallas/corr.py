@@ -21,16 +21,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _corr_kernel(q_ref, m_ref, o_ref, *, radius: int, stride: int, scale: float):
-    h, w, c = q_ref.shape
-    q = q_ref[:]
+    """Channel-major layout: q/m are (C, H, W[pad]) so the lane dimension is
+    the aligned W axis; output is (K^2, H, W) with the window index as an
+    untiled leading dim (a (H, W, 81) minor-dim layout makes the Mosaic
+    compiler blow up — 81 is not lane-aligned)."""
+    c, h, w = q_ref.shape
     k = 2 * radius + 1
+    q = q_ref[:]
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             oy = (dy + radius) * stride
             ox = (dx + radius) * stride
-            m = m_ref[oy : oy + h, ox : ox + w, :]
+            m = m_ref[:, oy : oy + h, ox : ox + w]
             kk = (dy + radius) * k + (dx + radius)
-            o_ref[:, :, kk] = jnp.sum(q * m, axis=-1) * scale
+            o_ref[kk] = jnp.sum(q * m, axis=0) * scale
 
 
 def local_correlation_volume_pallas(
@@ -44,18 +48,21 @@ def local_correlation_volume_pallas(
     appropriate for the SegFlow skip levels (<= ~128x128x128 features)."""
     h, w, c = query.shape
     pad = radius * stride
-    mem = jnp.pad(memory, ((pad, pad), (pad, pad), (0, 0)))
     k2 = (2 * radius + 1) ** 2
+    q_cm = jnp.moveaxis(query.astype(jnp.float32), -1, 0)  # (C, H, W)
+    m_cm = jnp.moveaxis(memory.astype(jnp.float32), -1, 0)
+    m_cm = jnp.pad(m_cm, ((0, 0), (pad, pad), (pad, pad)))
     kernel = functools.partial(
         _corr_kernel, radius=radius, stride=stride, scale=1.0 / math.sqrt(c)
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((h, w, k2), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((k2, h, w), jnp.float32),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(query.astype(jnp.float32), mem.astype(jnp.float32))
+    )(q_cm, m_cm)
+    return jnp.moveaxis(out, 0, -1)
