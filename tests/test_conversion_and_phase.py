@@ -72,3 +72,11 @@ def test_put_ed_first_roundtrip():
     assert rolled[0, 0] == 3
     back = restore_frame_order(rolled, inv)
     np.testing.assert_array_equal(back, frames)
+
+
+def test_task_name_id(tmp_path):
+    from csof_tpu.utils.io import find_task_name, task_name_to_id
+
+    (tmp_path / "Task027_ACDC").mkdir()
+    assert task_name_to_id("Task027_ACDC") == 27
+    assert find_task_name(tmp_path, 27) == "Task027_ACDC"
