@@ -78,6 +78,9 @@ class SegFlowModelConfig:
     kernel_size: int = 3
     pos_1d: Literal["sin", "learn"] = "sin"
     backward_flow: bool = True
+    # jax.checkpoint the per-frame step: recompute activations in backward
+    # instead of storing T copies (HBM/FLOPs trade; SURVEY TPU notes)
+    remat: bool = False
     dtype: str = "bfloat16"
 
 

@@ -198,9 +198,11 @@ class SegFlow(nn.Module):
         carry0 = (hidden0, jnp.zeros((h, w, 2), jnp.float32), prev_b0, x0, x0)
 
         # scan over ALL frames (frame 0 included with an identity flow step,
-        # so every frame gets a segmentation from shared decoder params)
+        # so every frame gets a segmentation from shared decoder params);
+        # optional remat trades recompute for T-x activation memory
+        step_cls = nn.remat(SegFlowStep) if cfg.remat else SegFlowStep
         scan = nn.scan(
-            SegFlowStep,
+            step_cls,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,

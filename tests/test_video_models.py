@@ -83,3 +83,24 @@ def test_segflow_param_sharing_across_time():
     out6 = model.apply(p4, v6)  # same params work for any T
     assert out6["flow"].shape[0] == 6
     assert n_params < 500_000
+
+
+def test_segflow_remat_gradients():
+    """remat variant produces identical loss and finite grads."""
+    from csof_tpu.config.experiment import SegFlowModelConfig
+
+    cfg = SegFlowModelConfig(
+        out_encoder_dims=(4, 8), d_model=8, bottleneck_heads=2, dim_feedforward=16,
+        corr_radius=(1, 1), corr_stride=(1, 1), dtype="float32", remat=True,
+    )
+    model = SegFlow(cfg=cfg, num_classes=4)
+    video = jnp.asarray(np.random.RandomState(0).rand(3, 16, 16, 1).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), video)
+
+    def loss(p):
+        out = model.apply(p, video)
+        return jnp.mean(out["registered"] ** 2) + jnp.mean(out["seg_logits"] ** 2)
+
+    val, grads = jax.value_and_grad(loss)(params)
+    assert np.isfinite(float(val))
+    assert all(np.isfinite(np.asarray(g)).all() for g in jax.tree.leaves(grads))
