@@ -196,10 +196,11 @@ class VideoChunkLoader:
                 t, v["ed"] % t, v["es"] % t, self.video_length, self.rng, self.start_es
             )
             clip = self._center_crop(frames[f_idx, d_idx].astype(np.float32))
-            # min-max per frame (ref: dataset_loading.py:6517)
-            mn = clip.min(axis=(-2, -1), keepdims=True)
-            mx = clip.max(axis=(-2, -1), keepdims=True)
-            clip = (clip - mn) / (mx - mn + 1e-8)
+            # min-max per frame (ref: dataset_loading.py:6517), C++ threaded
+            from csof_tpu.native import minmax_normalize
+
+            clip = np.ascontiguousarray(clip)
+            minmax_normalize(clip)
             vids.append(clip[..., None])
             if v.get("seg") is not None:
                 s = self._center_crop(v["seg"][f_idx, d_idx].astype(np.int32))
