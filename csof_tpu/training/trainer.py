@@ -268,6 +268,9 @@ class Trainer:
         augment_2d = (
             self.config.model == "unet2d" and self.config.data.do_data_aug
         )
+        augment_vid = (
+            self.config.model == "segflow" and self.config.data.do_data_aug
+        )
         base_key = jax.random.PRNGKey(self.config.seed + 17)
 
         def train_step(state, batch):
@@ -277,6 +280,16 @@ class Trainer:
                 key = jax.random.fold_in(base_key, state.step)
                 data, seg = augment_batch_2d(key, batch["data"], batch["seg"])
                 batch = {**batch, "data": data, "seg": seg}
+            elif augment_vid:
+                from csof_tpu.data.augment import augment_video
+
+                key = jax.random.fold_in(base_key, state.step)
+                keys = jax.random.split(key, batch["video"].shape[0])
+                video, seg = jax.vmap(augment_video)(keys, batch["video"], batch["seg"])
+                # unlabeled frames must stay fully -1 (spatial warp zero-padding
+                # would otherwise inject fake background labels)
+                seg = jnp.where(batch["labeled_mask"][:, :, None, None] > 0, seg, -1)
+                batch = {**batch, "video": video, "seg": seg}
             (loss, aux), grads = jax.value_and_grad(lambda p: loss_fn(p, batch), has_aux=True)(
                 state.params
             )
