@@ -28,14 +28,15 @@ class InstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # x: (N, *spatial, C); reduce over spatial axes
+        # x: (N, *spatial, C); statistics in fp32 even for bf16 activations
         axes = tuple(range(1, x.ndim - 1))
         c = x.shape[-1]
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.var(x, axis=axes, keepdims=True)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 
 
@@ -53,7 +54,7 @@ class GroupNorm(nn.Module):
             g -= 1
         orig_shape = x.shape
         spatial = x.shape[1:-1]
-        xg = x.reshape(x.shape[0], *spatial, g, c // g)
+        xg = x.astype(jnp.float32).reshape(x.shape[0], *spatial, g, c // g)
         axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
         mean = jnp.mean(xg, axis=axes, keepdims=True)
         var = jnp.var(xg, axis=axes, keepdims=True)
