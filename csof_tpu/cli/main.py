@@ -111,7 +111,7 @@ def train_entry(argv=None):
     unpack_dataset(pre_dir)
     ds = load_dataset(pre_dir)
     tr_keys, va_keys = do_split(list(ds), config.fold, splits_file=pre_root / "splits.pkl")
-    sp = plans.stage(0)
+    sp = plans.fullres_stage()
     tr_loader = SegPatchLoader({k: ds[k] for k in tr_keys}, sp.patch_size, sp.batch_size,
                               num_modalities=plans.num_modalities, seed=config.seed)
     va_loader = SegPatchLoader({k: ds[k] for k in va_keys}, sp.patch_size, sp.batch_size,
@@ -212,8 +212,8 @@ def predict_entry(argv=None):
 
     model_dir = Path(a.model_dir)
     plans = Plans.from_json(model_dir / "plans.json")
-    sp = plans.stage(0)
-    pre = Preprocessor(plans)
+    sp = plans.fullres_stage()
+    pre = Preprocessor(plans, stage=plans.fullres_stage_id)
 
     in_dir, out_dir = Path(a.input), Path(a.output)
     out_dir.mkdir(parents=True, exist_ok=True)

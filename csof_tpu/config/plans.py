@@ -67,6 +67,15 @@ class Plans:
     def num_classes_with_background(self) -> int:
         return self.num_classes + 1
 
+    @property
+    def fullres_stage_id(self) -> int:
+        """Highest-resolution stage (cascade plans: {0: lowres, 1: fullres},
+        ref convention)."""
+        return max(self.plans_per_stage)
+
+    def fullres_stage(self) -> StagePlans:
+        return self.plans_per_stage[self.fullres_stage_id]
+
     def stage(self, stage: int | None = None) -> StagePlans:
         if stage is None:
             if len(self.plans_per_stage) != 1:

@@ -149,21 +149,25 @@ class ExperimentPlanner:
             patch = [int(s) for s in median_shape]
         patch = [max(p, 2 * MIN_FEATURE_MAP_SIZE) for p in patch]
 
+        prev_padded = None
         while True:
-            _, pools, convs, padded, _ = get_pool_and_conv_props(
+            _, pools, convs, padded, must_divide = get_pool_and_conv_props(
                 spacing, patch, MIN_FEATURE_MAP_SIZE, max_numpool
             )
             vox = activation_voxels(
                 padded, pools, self.base_num_features, self.conv_per_stage, max_filters
             )
-            if vox <= budget:
-                break
-            # shrink the axis largest relative to the dataset median
+            if vox <= budget or padded == prev_padded:
+                break  # under budget, or shrunk to the floor on every axis
+            prev_padded = padded
+            # shrink the axis largest relative to the dataset median by one
+            # divisibility unit (ref: get_properties_for_stage:146 subtracts
+            # shape_must_be_divisible_by on the chosen axis)
             ref_shape = median_shape[-2:] if is_2d else median_shape
             rel = [p / m for p, m in zip(padded, ref_shape)]
             ax = int(np.argmax(rel))
             patch = list(padded)
-            patch[ax] = max(patch[ax] - patch[ax] // 8, 2 * MIN_FEATURE_MAP_SIZE)
+            patch[ax] = max(patch[ax] - must_divide[ax], 2 * MIN_FEATURE_MAP_SIZE)
 
         batch = DEFAULT_BATCH_2D if is_2d else DEFAULT_BATCH_3D
         # grow batch while well under budget (capped at 5% dataset voxels like
@@ -207,8 +211,20 @@ class ExperimentPlanner:
             intensity_properties=self.props["intensityproperties"],
             modalities=modality_names,
         )
+        fullres = self._plan_stage(spacing, median_shape, is_2d=False)
+        stages3d = {0: fullres}
+        # lowres cascade stage when the fullres patch covers too little of the
+        # median volume (ref heuristic: ExperimentPlanner.plan_experiment adds
+        # 3d_lowres when patch voxels < 1/4 of median shape; the lowres stage
+        # coarsens spacing isotropically until the volume nears the patch)
+        if np.prod(fullres.patch_size) * 4 < np.prod(median_shape):
+            factor = (np.prod(median_shape) / (2.0 * np.prod(fullres.patch_size))) ** (1 / 3)
+            low_spacing = spacing * factor
+            low_shape = self.median_shape_at(low_spacing)
+            lowres = self._plan_stage(low_spacing, low_shape, is_2d=False)
+            stages3d = {0: lowres, 1: fullres}
         plans3d = Plans(
-            plans_per_stage={0: self._plan_stage(spacing, median_shape, is_2d=False)},
+            plans_per_stage=stages3d,
             data_identifier="csof_3D",
             **common,
         )

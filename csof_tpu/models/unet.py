@@ -122,7 +122,7 @@ def unet_from_plans(
 ) -> GenericUNet:
     """Build the network exactly as the plans prescribe
     (ref: nnUNetTrainerV2.initialize_network, nnUNetTrainerV2.py:136-170)."""
-    sp: StagePlans = plans.stage(stage)
+    sp: StagePlans = plans.stage(stage) if stage is not None else plans.fullres_stage()
     return GenericUNet(
         num_classes=plans.num_classes_with_background,
         base_num_features=plans.base_num_features,

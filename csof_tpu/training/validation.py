@@ -37,7 +37,7 @@ def validate_fold(
     output_folder.mkdir(parents=True, exist_ok=True)
     ds = load_dataset(preprocessed_dir)
     _, val_keys = do_split(list(ds), fold, splits_file=splits_file)
-    sp = plans.stage(0)
+    sp = plans.fullres_stage()
 
     net, params = trainer.model, trainer.state.params
 

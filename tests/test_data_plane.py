@@ -153,3 +153,24 @@ def test_video_loader(pipeline):
     b2 = next(pf)
     assert b2["video"].shape == (2, 4, 32, 32, 1)
     pf.close()
+
+
+def test_lowres_cascade_stage_added():
+    """A large dataset (relative to patch budget) gets a 3d_lowres stage."""
+    import numpy as np
+    from csof_tpu.data.planning import ExperimentPlanner
+
+    props = {
+        "all_sizes": [(160, 320, 320)] * 4,
+        "all_spacings": [(1.0, 1.0, 1.0)] * 4,
+        "all_classes": [1, 2],
+        "intensityproperties": {0: {"mean": 0, "sd": 1, "percentile_00_5": -1, "percentile_99_5": 1,
+                                    "median": 0, "mn": -1, "mx": 1}},
+        "size_reductions": {"a": 1.0},
+    }
+    planner = ExperimentPlanner(props, "TaskBig", budget_3d=5e6, budget_2d=5e6)
+    plans = planner.plan(num_modalities=1)
+    stages = plans["3d"].plans_per_stage
+    assert len(stages) == 2, "expected lowres + fullres cascade stages"
+    assert np.prod(stages[0].current_spacing) > np.prod(stages[1].current_spacing)
+    assert plans["3d"].fullres_stage_id == 1
