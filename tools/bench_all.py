@@ -6,6 +6,11 @@ Protocol matches bench.py / the reference's get_throughput hook.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import json
 import time
 

@@ -1,5 +1,10 @@
 """Perf exploration on the real TPU: throughput vs batch/dtype/components."""
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
 import json
 import time
 
