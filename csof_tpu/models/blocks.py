@@ -91,10 +91,14 @@ class ConvNormAct(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # explicit k//2 padding: identical to SAME at stride 1 and identical
-        # to torch's padding=k//2 at stride 2 (XLA SAME pads (0,1) there,
-        # which would break reference-checkpoint parity)
-        pad = [(k // 2, k // 2) for k in self.kernel_size]
+        # explicit padding: odd kernels get (k//2, k//2) — identical to SAME
+        # at stride 1 and to torch's padding=k//2 at stride 2 (XLA SAME pads
+        # (0,1) there, which would break reference-checkpoint parity); even
+        # kernels get (k//2-1, k//2) which preserves SAME sizing
+        pad = [
+            ((k - 1) // 2, k // 2)
+            for k in self.kernel_size
+        ]
         x = nn.Conv(
             self.features,
             kernel_size=tuple(self.kernel_size),
