@@ -71,15 +71,31 @@ def lookup_correlation(
     ).reshape(-1, 2)  # ((2r+1)^2, 2)
 
     out = []
+    n = h * w
     for lvl, corr in enumerate(pyramid):
+        hl, wl = corr.shape[2], corr.shape[3]
         centroid = coords / (2.0**lvl)  # (H, W, 2)
-        pts = centroid[:, :, None, :] + d[None, None, :, :]  # (H, W, K, 2)
-        vol = corr.reshape(h * w, corr.shape[2], corr.shape[3], 1)
-        pts_flat = pts.reshape(h * w, -1, 2)
-        sampled = jax.vmap(
-            lambda img, p: grid_sample(img, p, mode="bilinear", padding="zeros")
-        )(vol, pts_flat)  # (H*W, K, 1)
-        out.append(sampled.reshape(h, w, -1))
+        pts = (centroid[:, :, None, :] + d[None, None, :, :]).reshape(n, -1, 2)
+        vol = corr.reshape(n, hl, wl)
+        # bilinear via 4 flat gathers (ONE XLA gather per corner — a vmap of
+        # per-pixel grid_sample lowers to thousands of tiny gathers and is
+        # ~50x slower on TPU)
+        y, x = pts[..., 0], pts[..., 1]
+        y0 = jnp.floor(y)
+        x0 = jnp.floor(x)
+        fy, fx = y - y0, x - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        nn = jnp.broadcast_to(jnp.arange(n)[:, None], y0i.shape)
+        acc = 0.0
+        for dy2, wy in ((0, 1 - fy), (1, fy)):
+            for dx2, wx in ((0, 1 - fx), (1, fx)):
+                yy = y0i + dy2
+                xx = x0i + dx2
+                valid = (yy >= 0) & (yy < hl) & (xx >= 0) & (xx < wl)
+                vals = vol[nn, jnp.clip(yy, 0, hl - 1), jnp.clip(xx, 0, wl - 1)]
+                acc = acc + vals * wy * wx * valid.astype(vals.dtype)
+        out.append(acc.reshape(h, w, -1))
     return jnp.concatenate(out, axis=-1)
 
 
