@@ -72,30 +72,37 @@ def lookup_correlation(
 
     out = []
     n = h * w
+    k = 2 * r + 1
+    doff = d.reshape(k * k, 2).astype(jnp.int32)
     for lvl, corr in enumerate(pyramid):
         hl, wl = corr.shape[2], corr.shape[3]
-        centroid = coords / (2.0**lvl)  # (H, W, 2)
-        pts = (centroid[:, :, None, :] + d[None, None, :, :]).reshape(n, -1, 2)
+        centroid = coords.reshape(n, 2) / (2.0**lvl)  # (n, 2) window centers
         vol = corr.reshape(n, hl, wl)
-        # bilinear via 4 flat gathers (ONE XLA gather per corner — a vmap of
-        # per-pixel grid_sample lowers to thousands of tiny gathers and is
-        # ~50x slower on TPU)
-        y, x = pts[..., 0], pts[..., 1]
-        y0 = jnp.floor(y)
-        x0 = jnp.floor(x)
-        fy, fx = y - y0, x - x0
-        y0i = y0.astype(jnp.int32)
-        x0i = x0.astype(jnp.int32)
-        nn = jnp.broadcast_to(jnp.arange(n)[:, None], y0i.shape)
-        acc = 0.0
-        for dy2, wy in ((0, 1 - fy), (1, fy)):
-            for dx2, wx in ((0, 1 - fx), (1, fx)):
-                yy = y0i + dy2
-                xx = x0i + dx2
-                valid = (yy >= 0) & (yy < hl) & (xx >= 0) & (xx < wl)
-                vals = vol[nn, jnp.clip(yy, 0, hl - 1), jnp.clip(xx, 0, wl - 1)]
-                acc = acc + vals * wy * wx * valid.astype(vals.dtype)
-        out.append(acc.reshape(h, w, -1))
+        # TPU gathers are scalar-unit work, so minimize them: all K^2 window
+        # points of one query share the SAME fractional offset, so bilinear
+        # separates into two whole-tensor lerps (VPU) + ONE integer gather of
+        # the K^2 window per query (instead of 4 corner gathers per point).
+        cy, cx = centroid[:, 0], centroid[:, 1]
+        y0f, x0f = jnp.floor(cy), jnp.floor(cx)
+        fy = (cy - y0f)[:, None, None]
+        fx = (cx - x0f)[:, None, None]
+        # zero margin sized so ANY window whose footprint touches the volume
+        # keeps unclipped indices (clip slack = window radius + lerp tap)
+        m = 2 * r + 2
+        volp = jnp.pad(vol, ((0, 0), (m, m + 1), (m, m + 1)))
+        lerp_y = (1 - fy) * volp[:, :-1, :] + fy * volp[:, 1:, :]
+        lerp = (1 - fx) * lerp_y[:, :, :-1] + fx * lerp_y[:, :, 1:]
+        # integer window gather; bases clipped so indices stay in the padded
+        # array — fully-out-of-range windows are masked to 0, exactly
+        # matching zero-padded bilinear sampling
+        y0 = jnp.clip(y0f.astype(jnp.int32), -(r + 1), hl + r)
+        x0 = jnp.clip(x0f.astype(jnp.int32), -(r + 1), wl + r)
+        masked = (y0f < -(r + 1)) | (y0f > hl + r) | (x0f < -(r + 1)) | (x0f > wl + r)
+        yy = y0[:, None] + doff[None, :, 0] + m  # (n, K^2)
+        xx = x0[:, None] + doff[None, :, 1] + m
+        nn = jnp.broadcast_to(jnp.arange(n)[:, None], yy.shape)
+        vals = lerp[nn, yy, xx] * (~masked)[:, None].astype(lerp.dtype)
+        out.append(vals.reshape(h, w, -1))
     return jnp.concatenate(out, axis=-1)
 
 
