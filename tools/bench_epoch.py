@@ -1,0 +1,86 @@
+"""Direct comparison vs the reference's documented epoch times.
+
+ref: documentation/expected_epoch_times.md — Task002_Heart 3d_fullres epoch
+(250 train iterations) takes 47.16 s on A100-40GB / 81.92 s on V100-32GB /
+123.27 s on RTX-2080ti. We rebuild the same training geometry (nnU-Net
+Task002 plans: patch 80x192x160, batch 2, base 32 features, 5 pool stages
+with aniso first/last) and time OUR jitted train step on the v5e chip.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+REF_EPOCH_A100 = 47.16
+REF_EPOCH_V100 = 81.92
+ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
+
+
+def main(dtype="bfloat16"):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from csof_tpu.models.unet import GenericUNet
+    from csof_tpu.ops import losses as L
+
+    # Task002_Heart 3d_fullres geometry (nnU-Net defaults for this task)
+    patch = (80, 192, 160)
+    batch = 2
+    pools = ((1, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2))
+    kernels = ((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3))
+    net = GenericUNet(
+        num_classes=3, base_num_features=32, pool_kernel_sizes=pools,
+        conv_kernel_sizes=kernels, deep_supervision=True,
+        dtype=jnp.dtype(dtype),
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
+    y = jnp.asarray(rng.randint(0, 3, (batch, *patch)), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), x[:1])
+    tx = optax.chain(optax.clip_by_global_norm(12.0), optax.sgd(0.01, momentum=0.99, nesterov=True))
+    opt = tx.init(params)
+
+    def loss_fn(p):
+        outs = net.apply(p, x)
+        targets = L.downsample_seg_for_ds(y, pools)[: len(outs)]
+        return L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+
+    @jax.jit
+    def step(params, opt):
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    params, opt, loss = step(params, opt)
+    jax.block_until_ready(loss)
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        params, opt, loss = step(params, opt)
+    jax.block_until_ready(loss)
+    sec_per_iter = (time.perf_counter() - t0) / reps
+    epoch_sec = sec_per_iter * ITERS_PER_EPOCH
+    print(
+        json.dumps(
+            {
+                "config": "task002_heart_3dfullres_epoch",
+                "sec_per_iter": round(sec_per_iter, 3),
+                "epoch_sec_v5e": round(epoch_sec, 1),
+                "ref_epoch_sec_a100": REF_EPOCH_A100,
+                "speedup_vs_a100": round(REF_EPOCH_A100 / epoch_sec, 2),
+                "speedup_vs_v100": round(REF_EPOCH_V100 / epoch_sec, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
