@@ -23,7 +23,7 @@ REF_EPOCH_V100 = 81.92
 ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
 
 
-def main(dtype="bfloat16"):
+def main(dtype="bfloat16", batch=2):
     import jax
     import jax.numpy as jnp
     import optax
@@ -33,7 +33,6 @@ def main(dtype="bfloat16"):
 
     # Task002_Heart 3d_fullres geometry (nnU-Net defaults for this task)
     patch = (80, 192, 160)
-    batch = 2
     pools = ((1, 2, 2), (2, 2, 2), (2, 2, 2), (2, 2, 2), (1, 2, 2))
     kernels = ((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3))
     net = GenericUNet(
@@ -66,12 +65,12 @@ def main(dtype="bfloat16"):
     for _ in range(reps):
         params, opt, loss = step(params, opt)
     jax.block_until_ready(loss)
-    sec_per_iter = (time.perf_counter() - t0) / reps
+    sec_per_iter = (time.perf_counter() - t0) / reps * (2 / batch)
     epoch_sec = sec_per_iter * ITERS_PER_EPOCH
     print(
         json.dumps(
             {
-                "config": "task002_heart_3dfullres_epoch",
+                "config": f"task002_heart_3dfullres_epoch_b{batch}",
                 "sec_per_iter": round(sec_per_iter, 3),
                 "epoch_sec_v5e": round(epoch_sec, 1),
                 "ref_epoch_sec_a100": REF_EPOCH_A100,
@@ -83,4 +82,6 @@ def main(dtype="bfloat16"):
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _s
+
+    main(batch=int(_s.argv[1]) if len(_s.argv) > 1 else 2)
