@@ -99,6 +99,53 @@ class SlidingWindowPredictor:
             probs.append(p)
         return np.stack(segs), np.stack(probs, axis=1)
 
+    def predict_sharded(self, params, image: np.ndarray, mesh) -> tuple[np.ndarray, np.ndarray]:
+        """Multi-chip variant: the tile batch (x mirror variants) is sharded
+        over the mesh's `data` axis (csof_tpu.parallel.spmd_inference);
+        Gaussian aggregation runs on host. Same outputs as :meth:`predict`.
+        """
+        from csof_tpu.parallel.spmd_inference import make_sharded_batch_forward
+
+        cfg = self.cfg
+        assert image.ndim == len(cfg.patch_size) + 1
+        shape = bucket_image_shape(image.shape[1:], cfg.patch_size, cfg.step_size, cfg.bucket)
+        padded, slicer = pad_nd_image(image, shape, return_slicer=True)
+        starts = step_grid(cfg.patch_size, shape, cfg.step_size)
+
+        # host-side tile gather (C++ core would also serve here)
+        tiles = np.stack(
+            [
+                np.moveaxis(
+                    padded[(slice(None),) + tuple(slice(s, s + p) for s, p in zip(st, cfg.patch_size))],
+                    0,
+                    -1,
+                )
+                for st in starts
+            ]
+        ).astype(np.float32)
+
+        key = ("sharded", tiles.shape[1:], id(mesh))
+        if key not in self._jitted:
+            self._jitted[key] = make_sharded_batch_forward(
+                lambda p, x: self._forward_tiles(p, x), mesh
+            )
+        probs = np.asarray(self._jitted[key](params, jnp.asarray(tiles)))
+
+        gauss = (
+            gaussian_importance_map(tuple(cfg.patch_size))
+            if cfg.use_gaussian
+            else np.ones(cfg.patch_size, np.float32)
+        )
+        agg = np.zeros((*shape, cfg.num_classes), np.float32)
+        wsum = np.zeros(shape, np.float32)
+        for st, p in zip(starts, probs):
+            sl = tuple(slice(s, s + k) for s, k in zip(st, cfg.patch_size))
+            agg[sl] += p * gauss[..., None]
+            wsum[sl] += gauss
+        agg = agg / wsum[..., None]
+        probs_full = np.moveaxis(agg, -1, 0)[(slice(None),) + slicer[1:]]
+        return probs_full.argmax(0), probs_full
+
     # -- jitted core --------------------------------------------------------
 
     def _get_jitted(self, image_shape, n_tiles, in_channels):
