@@ -96,7 +96,7 @@ class SegFlowStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, inputs):
-        frame, t_idx = inputs
+        frame, t_idx, dist = inputs
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         hidden, cum_flow, prev_bottleneck, x0, prev_frame = carry
@@ -135,6 +135,16 @@ class SegFlowStep(nn.Module):
             )
 
         cur = fused[-1]
+        # inter-frame distance conditioning (the reference feeds the sampled
+        # frame-spacing vector to its temporal modules,
+        # ref: dataset_loading.py:6452 `distance`): sine-embed the scalar and
+        # add it to the current bottleneck features
+        demb = jnp.concatenate(
+            [jnp.sin(dist * (2.0 ** jnp.arange(4))), jnp.cos(dist * (2.0 ** jnp.arange(4)))]
+        )
+        cur = cur + nn.Dense(cur.shape[-1], dtype=dtype, name="dist_embed")(
+            demb.astype(dtype)
+        )[None, None, :]
         # bottleneck 1: match current against previous-frame bottleneck
         b1 = CrossAttentionLayer(
             cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_prev"
@@ -185,7 +195,7 @@ class SegFlow(nn.Module):
     num_classes: int = 4
 
     @nn.compact
-    def __call__(self, video: jnp.ndarray):
+    def __call__(self, video: jnp.ndarray, distance: jnp.ndarray | None = None):
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         t, h, w, _ = video.shape
@@ -208,5 +218,7 @@ class SegFlow(nn.Module):
             in_axes=0,
             out_axes=0,
         )(cfg=cfg, num_classes=self.num_classes)
-        _, outs = scan(carry0, (video, jnp.arange(t)))
+        if distance is None:
+            distance = jnp.zeros((t,), jnp.float32)
+        _, outs = scan(carry0, (video, jnp.arange(t), distance))
         return outs

@@ -99,10 +99,10 @@ def make_seg_loss(config: ExperimentConfig, model: GenericUNet):
 def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
     w = config.loss_weights
 
-    def one_video(params, video, seg, labeled_mask):
+    def one_video(params, video, seg, labeled_mask, distance=None):
         """video: (T, H, W, 1); seg: (T, H, W) int (-1 where unlabeled);
-        labeled_mask: (T,) float."""
-        out = model.apply(params, video)
+        labeled_mask: (T,) float; distance: (T,) inter-frame spacing."""
+        out = model.apply(params, video, distance)
         x0 = video[0]
         # unsupervised registration: NCC(registered_t, x0) over t>=1
         ncc = L.ncc_loss(out["registered"][1:], jnp.broadcast_to(x0, out["registered"][1:].shape))
@@ -122,9 +122,15 @@ def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
                       "seg_ce": seg_ce, "seg_dice": seg_dice}
 
     def loss_fn(params, batch):
-        losses, metrics = jax.vmap(
-            lambda v, s, m: one_video(params, v, s, m)
-        )(batch["video"], batch["seg"], batch["labeled_mask"])
+        dist = batch.get("distance")
+        if dist is not None:
+            losses, metrics = jax.vmap(
+                lambda v, s, m, d: one_video(params, v, s, m, d)
+            )(batch["video"], batch["seg"], batch["labeled_mask"], dist)
+        else:
+            losses, metrics = jax.vmap(
+                lambda v, s, m: one_video(params, v, s, m)
+            )(batch["video"], batch["seg"], batch["labeled_mask"])
         return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}
 
     return loss_fn
