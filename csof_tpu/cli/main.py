@@ -354,6 +354,43 @@ def ensemble_entry(argv=None):
     print(f"ensembled {len(cases)} cases from {len(folders)} models")
 
 
+def find_best_configuration_entry(argv=None):
+    """Pick the best config/ensemble from validation softmax dumps
+    (ref: nnUNet_find_best_configuration, evaluation/model_selection/
+    figure_out_what_to_submit.py)."""
+    from csof_tpu.evaluation.model_selection import find_best_configuration
+    from csof_tpu.utils.nifti import load_nifti
+
+    p = argparse.ArgumentParser("csof_find_best_configuration")
+    p.add_argument("-f", "--folders", nargs="+", required=True,
+                   help="named softmax folders as name=path (npz dumps per case)")
+    p.add_argument("-r", "--ref", required=True, help="GT label folder")
+    p.add_argument("-l", "--labels", type=int, nargs="+", required=True)
+    p.add_argument("-o", "--output", default="best_configuration.json")
+    a = p.parse_args(argv)
+    configs = {}
+    cases = None
+    for spec in a.folders:
+        name, _, path = spec.partition("=")
+        if not path:
+            p.error(f"folder spec must be name=path, got {spec!r}")
+        folder = Path(path)
+        ids = sorted(f.stem for f in folder.glob("*.npz"))
+        if cases is None:
+            cases = ids
+        elif ids != cases:
+            p.error(f"case mismatch between folders: {name}")
+        configs[name] = [np.load(folder / f"{c}.npz")["softmax"] for c in ids]
+    gts = []
+    for c in cases:
+        gt_file = Path(a.ref) / f"{c}.nii.gz"
+        if not gt_file.exists():
+            p.error(f"missing GT {gt_file}")
+        gts.append(load_nifti(gt_file).data_czyx)
+    res = find_best_configuration(configs, gts, a.labels, output_file=a.output)
+    print(json.dumps({"best": res["best"], "scores": res["scores"]}, indent=2))
+
+
 def strain_entry(argv=None):
     from csof_tpu.analysis.flow_analysis import analyze_prediction_tree, write_strain_csv
 
@@ -389,6 +426,7 @@ if __name__ == "__main__":
         "predict_flow": predict_flow_entry,
         "evaluate": evaluate_entry,
         "ensemble": ensemble_entry,
+        "find_best_configuration": find_best_configuration_entry,
         "strain": strain_entry,
         "jacobian": jacobian_entry,
         "throughput": throughput_entry,
