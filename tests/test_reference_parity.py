@@ -99,3 +99,27 @@ def test_contour_transformer_parity(ref_integration):
     ref_pts = pts + sampled.T
     ours = np.asarray(warp_points(jnp.asarray(pts), jnp.asarray(flow)))
     np.testing.assert_allclose(ours, ref_pts, atol=1e-3)
+
+
+def test_spatial_transformer_parity_3d(ref_integration):
+    rng = np.random.RandomState(5)
+    img = rng.rand(10, 12, 14).astype(np.float32)
+    flow = (rng.rand(10, 12, 14, 3).astype(np.float32) - 0.5) * 3
+    st = ref_integration.SpatialTransformer((10, 12, 14))
+    src = torch.from_numpy(img)[None, None].float()
+    fl = torch.from_numpy(np.moveaxis(flow, -1, 0))[None].float()
+    with torch.no_grad():
+        ref_out = st(fl, src)[0, 0].numpy()
+    ours = np.asarray(warp_image(jnp.asarray(img)[..., None], jnp.asarray(flow)))[..., 0]
+    np.testing.assert_allclose(ours, ref_out, atol=3e-4)
+
+
+def test_vecint_parity_3d(ref_integration):
+    rng = np.random.RandomState(6)
+    vel = (rng.rand(8, 10, 10, 3).astype(np.float32) - 0.5) * 1.5
+    ref_vi = ref_integration.VecInt((8, 10, 10), 7)
+    with torch.no_grad():
+        ref_out = ref_vi(torch.from_numpy(np.moveaxis(vel, -1, 0))[None].float())
+    ref_out = np.moveaxis(ref_out[0].numpy(), 0, -1)
+    ours = np.asarray(vecint(jnp.asarray(vel), num_steps=7))
+    np.testing.assert_allclose(ours[2:-2, 2:-2, 2:-2], ref_out[2:-2, 2:-2, 2:-2], atol=5e-3)
