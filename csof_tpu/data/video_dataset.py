@@ -22,7 +22,26 @@ import numpy as np
 from csof_tpu.utils.nifti import load_nifti
 
 
-def build_video_datasets(task_dir: str | Path) -> dict[str, dict]:
+def read_ed_es_csv(csv_file: str | Path) -> dict[str, dict]:
+    """ED/ES numbers from a CSV with columns (patient, ed, es) — the source
+    the reference uses for the Lib dataset
+    (ref: nnunet/inference/predict.py:1196 `get_ed_es_indices` from CSV)."""
+    import csv as _csv
+
+    out: dict[str, dict] = {}
+    with open(csv_file, newline="") as f:
+        reader = _csv.DictReader(f)
+        cols = {c.lower(): c for c in reader.fieldnames or []}
+        for row in reader:
+            pid = row[cols.get("patient", "patient")]
+            out[pid] = {
+                "ed": int(float(row[cols.get("ed", "ed")])),
+                "es": int(float(row[cols.get("es", "es")])),
+            }
+    return out
+
+
+def build_video_datasets(task_dir: str | Path, ed_es_csv: str | Path | None = None) -> dict[str, dict]:
     """task_dir: converted task folder with cine/, labelsTr/, dataset.json.
 
     Returns patient -> {"frames": (T, z, y, x) float32, "seg": (T, z, y, x)
@@ -32,6 +51,8 @@ def build_video_datasets(task_dir: str | Path) -> dict[str, dict]:
     task_dir = Path(task_dir)
     dj = json.loads((task_dir / "dataset.json").read_text())
     ed_es = dj.get("ed_es_numbers", {})
+    if ed_es_csv is not None:
+        ed_es = {**ed_es, **read_ed_es_csv(ed_es_csv)}
     videos: dict[str, dict] = {}
     for cine_file in sorted((task_dir / "cine").glob("*_4d.nii.gz")):
         pid = cine_file.name.replace("_4d.nii.gz", "")

@@ -80,3 +80,13 @@ def test_task_name_id(tmp_path):
     (tmp_path / "Task027_ACDC").mkdir()
     assert task_name_to_id("Task027_ACDC") == 27
     assert find_task_name(tmp_path, 27) == "Task027_ACDC"
+
+
+def test_read_ed_es_csv(tmp_path):
+    from csof_tpu.data.video_dataset import read_ed_es_csv
+
+    f = tmp_path / "edes.csv"
+    f.write_text("patient,ED,ES\npatient001,1,9\npatient002,2,8\n")
+    m = read_ed_es_csv(f)
+    assert m["patient001"] == {"ed": 1, "es": 9}
+    assert m["patient002"]["es"] == 8
