@@ -107,6 +107,25 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.he_normal(),
         )(x)
+        # fused Pallas InstanceNorm+LeakyReLU epilogue (27% faster than the
+        # XLA pair on v5e, see ops/pallas/norm_act.py). Env-gated and 2D
+        # only; EXPERIMENTAL: no custom VJP yet (inference only) and the
+        # affine params live under this module (set the flag consistently
+        # between init and apply)
+        import os
+
+        if (
+            self.norm == "instance"
+            and self.act is leaky_relu
+            and x.ndim == 4
+            and os.environ.get("CSOF_FUSED_NORM", "0") == "1"
+        ):
+            from csof_tpu.ops.pallas.norm_act import instance_norm_leaky_relu_pallas
+
+            c = x.shape[-1]
+            scale = self.param("fused_scale", nn.initializers.ones, (c,), jnp.float32)
+            bias = self.param("fused_bias", nn.initializers.zeros, (c,), jnp.float32)
+            return instance_norm_leaky_relu_pallas(x, scale, bias)
         x = make_norm(self.norm)(x)
         return self.act(x)
 
