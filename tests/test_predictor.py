@@ -71,3 +71,23 @@ def test_trained_unet_through_predictor():
     assert seg.shape == (3, 20, 20)
     assert probs.shape == (2, 3, 20, 20)
     np.testing.assert_allclose(probs.sum(0), 1.0, atol=1e-4)
+
+
+def test_predictor_3d_patches():
+    """3D tiled prediction through the same engine (config-2 capability)."""
+    from csof_tpu.models.unet import GenericUNet
+
+    net = GenericUNet(
+        num_classes=2, base_num_features=4,
+        pool_kernel_sizes=((2, 2, 2),), conv_kernel_sizes=((3, 3, 3), (3, 3, 3)),
+        deep_supervision=False,
+    )
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 16, 16, 1)))
+    cfg = PredictorConfig(patch_size=(8, 16, 16), num_classes=2, tile_batch=2,
+                          do_mirroring=True)
+    pred = SlidingWindowPredictor(lambda p, x: net.apply(p, x), cfg)
+    vol = np.random.RandomState(0).rand(1, 10, 20, 20).astype(np.float32)
+    seg, probs = pred.predict(params, vol)
+    assert seg.shape == (10, 20, 20)
+    assert probs.shape == (2, 10, 20, 20)
+    np.testing.assert_allclose(probs.sum(0), 1.0, atol=1e-4)
