@@ -31,6 +31,10 @@ def perimeter(binary: jnp.ndarray) -> jnp.ndarray:
     algorithm behind skimage.measure.perimeter with 4-neighbourhood): border
     pixels are classified by a 3x3 convolution with kernel
     [[10,2,10],[2,1,2],[10,2,10]] and weighted 1 / sqrt2 / (1+sqrt2)/2.
+
+    Accuracy: exact on 45-degree diamonds, consistent +4-5% on circles at
+    all radii (the estimator family's known bias) — strain, a perimeter
+    RATIO relative to frame 0 (ref: save_strain.py:25-28), cancels it.
     """
     b = binary.astype(jnp.float32)
     # 4-neighbourhood erosion: pixel survives if itself and the 4-cross are set
