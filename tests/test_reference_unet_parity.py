@@ -108,3 +108,34 @@ def test_imported_weights_match_argmax(pair):
     ours = np.asarray(mine.apply(params, jnp.asarray(np.moveaxis(x, 1, -1)))[0]).argmax(-1)
     agree = (ours == ref_seg).mean()
     assert agree > 0.999, f"argmax agreement {agree}"
+
+
+def test_gaussian_map_parity_with_reference():
+    """Our tile-importance map matches ref `_get_gaussian` exactly
+    (ref: neural_network.py:251-265)."""
+    from nnunet.network_architecture.neural_network import SegmentationNetwork
+
+    from csof_tpu.ops.sliding_window import gaussian_importance_map
+
+    for patch in ((56, 40), (8, 24, 24)):
+        ref_map = SegmentationNetwork._get_gaussian(patch)
+        ours = gaussian_importance_map(patch)
+        np.testing.assert_allclose(ours, ref_map, rtol=1e-6)
+
+
+def test_sliding_steps_parity_with_reference():
+    """Step grids identical to ref `_compute_steps_for_sliding_window`."""
+    from nnunet.network_architecture.neural_network import SegmentationNetwork
+
+    from csof_tpu.ops.sliding_window import compute_steps
+
+    rng = np.random.RandomState(7)
+    for _ in range(100):
+        nd = rng.randint(1, 4)
+        patch = [int(rng.randint(8, 128)) for _ in range(nd)]
+        image = [int(p + rng.randint(0, 2 * p)) for p in patch]
+        step = float(rng.uniform(0.1, 1.0))
+        ref_steps = SegmentationNetwork._compute_steps_for_sliding_window(
+            tuple(patch), tuple(image), step
+        )
+        assert compute_steps(patch, image, step) == ref_steps
