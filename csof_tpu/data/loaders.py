@@ -60,32 +60,44 @@ class SegPatchLoader:
 
     def _sample_patch(self, data: np.ndarray, props: dict, oversample: bool):
         """data: (C+1, z, y, x) with seg last. Returns (patch_data, patch_seg)."""
-        seg = data[-1]
         vol_shape = data.shape[1:]
         if self.twod:
             z = self.rng.randint(vol_shape[0])
-            if oversample and props.get("class_locations"):
-                classes = [c for c, locs in props["class_locations"].items() if len(locs)]
-                if classes:
-                    c = classes[self.rng.randint(len(classes))]
-                    locs = props["class_locations"][c]
-                    z = locs[self.rng.randint(len(locs))][0]
+            center = None
+            voxel = self._draw_class_voxel(props) if oversample else None
+            if voxel is not None:
+                # ONE voxel drives both the slice choice and the in-plane
+                # crop center (ref DataLoader2D: the selected foreground voxel
+                # supplies the slice AND the center; drawing them separately
+                # can yield an "oversampled" patch with no foreground in the
+                # chosen slice).
+                z = voxel[0]
+                center = voxel[1:]
             plane = data[:, z]
-            return self._crop_nd(plane, props, oversample, spatial_offset=1, fixed_axis=z)
-        return self._crop_nd(data, props, oversample, spatial_offset=0)
+            return self._crop_nd(plane, props, center=center)
+        center = None
+        voxel = self._draw_class_voxel(props) if oversample else None
+        if voxel is not None:
+            center = voxel[-len(self.patch_size):]
+        return self._crop_nd(data, props, center=center)
 
-    def _crop_nd(self, arr: np.ndarray, props: dict, oversample: bool, spatial_offset: int, fixed_axis=None):
+    def _draw_class_voxel(self, props: dict):
+        """Uniformly pick a present class, then one of its fg voxels
+        (ref: dataset_loading.py DataLoader3D.generate_train_batch fg
+        oversampling). Returns the full (z, y, x) voxel or None."""
+        if not props.get("class_locations"):
+            return None
+        classes = [c for c, locs in props["class_locations"].items() if len(locs)]
+        if not classes:
+            return None
+        c = classes[self.rng.randint(len(classes))]
+        locs = props["class_locations"][c]
+        return locs[self.rng.randint(len(locs))]
+
+    def _crop_nd(self, arr: np.ndarray, props: dict, center=None):
         """arr: (C+1, *spatial_nd) where nd == len(patch_size)."""
         spatial = arr.shape[1:]
         nd = len(self.patch_size)
-        center = None
-        if oversample and props.get("class_locations"):
-            classes = [c for c, locs in props["class_locations"].items() if len(locs)]
-            if classes:
-                c = classes[self.rng.randint(len(classes))]
-                locs = props["class_locations"][c]
-                voxel = locs[self.rng.randint(len(locs))]
-                center = voxel[-nd:]
         if center is None:
             center = [
                 self.rng.randint(0, max(1, s))
@@ -232,10 +244,16 @@ class Prefetcher:
     def _work(self):
         it = iter(self.loader)
         while not self._stop.is_set():
-            try:
-                self.q.put(next(it), timeout=0.5)
-            except queue.Full:
-                continue
+            batch = next(it)
+            # retry the put of the SAME batch — a full queue is the steady
+            # state while the device is busy; regenerating on timeout would
+            # burn the 1-core host and skew the RNG-driven batch stream
+            while not self._stop.is_set():
+                try:
+                    self.q.put(batch, timeout=0.5)
+                    break
+                except queue.Full:
+                    continue
 
     def __iter__(self):
         return self

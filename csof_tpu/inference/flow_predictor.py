@@ -166,13 +166,14 @@ def predict_video_sliding(
         start = 0 if t0 == 0 else overlap
         cum = res["flow"]  # (Tc, D, H, W, 2) flows to the chunk anchor t0
         if carry_flow is not None:
-            composed = np.empty_like(cum)
-            for ti in range(cum.shape[0]):
-                for d in range(cum.shape[1]):
-                    composed[ti, d] = np.asarray(
-                        compose_flows(jnp.asarray(carry_flow[d]), jnp.asarray(cum[ti, d]))
-                    )
-            cum = composed
+            # Register frame ti to the GLOBAL anchor: warp by the chunk flow
+            # first (ti -> chunk anchor), then by the carry (chunk anchor ->
+            # global anchor) — compose_flows(flow_ab=chunk, flow_bc=carry).
+            # Composition is non-commutative for spatially varying fields.
+            carry = jnp.asarray(carry_flow)  # (D, H, W, 2)
+            cum = np.asarray(
+                jax.vmap(lambda c: jax.vmap(compose_flows)(c, carry))(jnp.asarray(cum))
+            )
         seg_chunks.append(res["seg"][start:])
         soft_chunks.append(res["softmax"][:, start:])
         flow_chunks.append(cum[start:])

@@ -21,21 +21,31 @@ def leaky_relu(x, negative_slope: float = 0.01):
 
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over spatial dims
-    (ref norm: nn.InstanceNorm{2,3}d(affine=True, eps=1e-5))."""
+    (ref norm: nn.InstanceNorm{2,3}d(affine=True, eps=1e-5)).
+
+    `fused_leaky_relu=True` routes through the Pallas
+    instance_norm_leaky_relu kernel using the SAME scale/bias params, so the
+    param tree (and checkpoints) are identical whether fusion is enabled or
+    not."""
 
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
+    fused_leaky_relu: bool = False
 
     @nn.compact
     def __call__(self, x):
         # x: (N, *spatial, C); statistics in fp32 even for bf16 activations
-        axes = tuple(range(1, x.ndim - 1))
         c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.fused_leaky_relu:
+            from csof_tpu.ops.pallas.norm_act import instance_norm_leaky_relu_pallas
+
+            return instance_norm_leaky_relu_pallas(x, scale, bias)
+        axes = tuple(range(1, x.ndim - 1))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
 
@@ -107,11 +117,10 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.he_normal(),
         )(x)
-        # fused Pallas InstanceNorm+LeakyReLU epilogue (27% faster than the
-        # XLA pair on v5e, see ops/pallas/norm_act.py). Env-gated and 2D
-        # only; EXPERIMENTAL: no custom VJP yet (inference only) and the
-        # affine params live under this module (set the flag consistently
-        # between init and apply)
+        # fused Pallas InstanceNorm+LeakyReLU epilogue (see
+        # ops/pallas/norm_act.py). Env-gated, 2D-inference only (no custom
+        # VJP yet). The fused path consumes the SAME InstanceNorm_0
+        # scale/bias params, so checkpoints restore regardless of the flag.
         import os
 
         if (
@@ -120,12 +129,7 @@ class ConvNormAct(nn.Module):
             and x.ndim == 4
             and os.environ.get("CSOF_FUSED_NORM", "0") == "1"
         ):
-            from csof_tpu.ops.pallas.norm_act import instance_norm_leaky_relu_pallas
-
-            c = x.shape[-1]
-            scale = self.param("fused_scale", nn.initializers.ones, (c,), jnp.float32)
-            bias = self.param("fused_bias", nn.initializers.zeros, (c,), jnp.float32)
-            return instance_norm_leaky_relu_pallas(x, scale, bias)
+            return InstanceNorm(fused_leaky_relu=True, name="InstanceNorm_0")(x)
         x = make_norm(self.norm)(x)
         return self.act(x)
 

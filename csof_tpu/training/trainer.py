@@ -354,7 +354,8 @@ class Trainer:
         cfg = self.config
         max_epochs = max_epochs or cfg.max_num_epochs
         train_loss_ma = None
-        best_ma = None
+        criterion_ma = None  # running EMA, advanced EVERY epoch
+        best_ma = None  # best value of that EMA so far
         best_epoch = 0
         while self.epoch < max_epochs:
             t0 = time.time()
@@ -390,20 +391,23 @@ class Trainer:
             self.history.epoch_times.append(time.time() - t0)
             self.epoch += 1
 
-            # moving-average best tracking + patience (ref: manage_patience)
+            # moving-average best tracking + patience: the criterion EMA is
+            # advanced every epoch and compared against the best EMA seen,
+            # mirroring ref network_trainer.py update_eval_criterion_MA:616 /
+            # manage_patience:632 (val_eval_criterion_MA updates each epoch).
             criterion = (
                 self.history.val_losses[-1]
                 if self.history.val_losses
                 else self.history.train_losses[-1]
             )
-            ma = (
+            criterion_ma = (
                 criterion
-                if best_ma is None
-                else self.val_eval_criterion_alpha * best_ma
+                if criterion_ma is None
+                else self.val_eval_criterion_alpha * criterion_ma
                 + (1 - self.val_eval_criterion_alpha) * criterion
             )
-            if best_ma is None or ma < best_ma - self.train_loss_ma_eps:
-                best_ma, best_epoch = ma, self.epoch
+            if best_ma is None or criterion_ma < best_ma - self.train_loss_ma_eps:
+                best_ma, best_epoch = criterion_ma, self.epoch
                 self.save_checkpoint(ckpt.BEST)
             if self.epoch % self.checkpoint_every == 0:
                 self.save_checkpoint(ckpt.LATEST)

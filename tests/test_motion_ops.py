@@ -92,6 +92,32 @@ def test_compose_flows():
     np.testing.assert_allclose(np.asarray(a[2:-2, 2:-2]), np.asarray(b[2:-2, 2:-2]), atol=1e-4)
 
 
+def test_compose_flows_spatially_varying_order():
+    """Contract check with NON-constant fields (constant flows commute and
+    would hide an argument swap): warp(img, compose(a, b)) == warp(warp(img,
+    a), b), and the reversed composition differs."""
+    rng = np.random.RandomState(3)
+    n = 24
+    img = jnp.asarray(np.cumsum(np.cumsum(rng.rand(n, n, 1), 0), 1).astype(np.float32))
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    a = jnp.asarray(
+        np.stack([1.5 * np.sin(2 * np.pi * xx / n), np.cos(2 * np.pi * yy / n)], -1),
+        jnp.float32,
+    )
+    b = jnp.asarray(
+        np.stack([0.8 * np.cos(2 * np.pi * yy / n), -1.2 * np.sin(2 * np.pi * xx / n)], -1),
+        jnp.float32,
+    )
+    seq = warp_image(warp_image(img, a, padding="border"), b, padding="border")
+    one = warp_image(img, compose_flows(a, b), padding="border")
+    inner = (slice(3, -3), slice(3, -3))
+    # interpolation error bounds the match (image values span ~[0, 290]);
+    # the swapped order is an order of magnitude further off
+    np.testing.assert_allclose(np.asarray(seq[inner]), np.asarray(one[inner]), atol=1.0)
+    swapped = warp_image(img, compose_flows(b, a), padding="border")
+    assert np.abs(np.asarray(seq[inner]) - np.asarray(swapped[inner])).max() > 3.0
+
+
 def test_vecint_small_field_exponential():
     # For a constant velocity field, integration = identity displacement
     # (constant field composes with itself: phi(x) = x + v)

@@ -18,3 +18,26 @@ def test_fused_norm_act_matches_reference():
 
     out = instance_norm_leaky_relu_pallas(x, scale, bias, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_fused_flag_keeps_param_tree_and_checkpoint_compat(monkeypatch):
+    """CSOF_FUSED_NORM must not change the param tree: a checkpoint trained
+    with the flag off restores + applies with it on (and vice versa), and the
+    fused path consumes the trained InstanceNorm scale/bias."""
+    from csof_tpu.models.blocks import ConvNormAct
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 16, 16, 4).astype(np.float32))
+    block = ConvNormAct(features=8, kernel_size=(3, 3))
+
+    monkeypatch.setenv("CSOF_FUSED_NORM", "0")
+    params = block.init(jax.random.PRNGKey(0), x)
+    # non-trivial affine so the fused path visibly uses the trained params
+    params = jax.tree.map(lambda p: p + 0.3, params)
+    ref = block.apply(params, x)
+
+    monkeypatch.setenv("CSOF_FUSED_NORM", "1")
+    fused_init = block.init(jax.random.PRNGKey(0), x)
+    assert jax.tree.structure(fused_init) == jax.tree.structure(params)
+    fused = block.apply(params, x)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-4)
