@@ -49,6 +49,7 @@ class PredictorConfig:
     use_gaussian: bool = True
     tile_batch: int = 8  # tiles per forward chunk (x mirror variants inside)
     bucket: int = 32
+    depth_bucket: int = 4  # 2D-over-3D: pad D to a multiple -> few compilations
 
     def __post_init__(self):
         if self.mirror_axes is None:
@@ -91,13 +92,30 @@ class SlidingWindowPredictor:
         """2D network over a 3D volume (C, D, H, W): the depth axis is folded
         into the tile batch — one device program for the whole volume
         (replaces the per-slice host loop, ref: neural_network.py:
-        _internal_predict_3D_2Dconv_tiled)."""
-        segs, probs = [], []
-        for d in range(volume.shape[1]):  # per-slice predict reuses the jit cache
-            s, p = self.predict(params, volume[:, d])
-            segs.append(s)
-            probs.append(p)
-        return np.stack(segs), np.stack(probs, axis=1)
+        _internal_predict_3D_2Dconv_tiled). D is bucketed (padded with zero
+        slices) so nearby depths reuse the same compilation.
+        """
+        cfg = self.cfg
+        c_in, d = volume.shape[:2]
+        shape = bucket_image_shape(volume.shape[2:], cfg.patch_size, cfg.step_size, cfg.bucket)
+        padded, slicer = pad_nd_image(volume, (volume.shape[1], *shape), return_slicer=True)
+        db = max(1, cfg.depth_bucket)
+        d_pad = -(-d // db) * db - d
+        if d_pad:
+            padded = np.pad(padded, ((0, 0), (0, d_pad)) + ((0, 0),) * (padded.ndim - 2))
+        starts2d = step_grid(cfg.patch_size, shape, cfg.step_size)
+        # every (slice, tile) pair is one job: starts3 rows are (d, y, x)
+        starts3 = np.asarray(
+            [(di, *st) for di in range(padded.shape[1]) for st in starts2d], np.int64
+        )
+        key = ("stack", padded.shape, len(starts3))
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                partial(self._run_stack, image_shape=padded.shape[1:])
+            )
+        probs = np.asarray(self._jitted[key](params, jnp.asarray(padded), jnp.asarray(starts3)))
+        probs = probs[:, :d][(slice(None), slice(None)) + slicer[2:]]
+        return probs.argmax(0), probs
 
     def predict_sharded(self, params, image: np.ndarray, mesh) -> tuple[np.ndarray, np.ndarray]:
         """Multi-chip variant: the tile batch (x mirror variants) is sharded
@@ -186,6 +204,56 @@ class SlidingWindowPredictor:
         for c, p in zip(combos, parts):
             acc = acc + (jnp.flip(p, [a + spatial_off for a in c]) if c else p)
         return acc / len(combos)
+
+    def _run_stack(self, params, volume, starts3, *, image_shape):
+        """Depth-folded variant of :meth:`_run` for 2D nets over (C, D, H, W)
+        volumes: every (slice, in-plane tile) pair is one job in the chunked
+        TTA batch, and the Gaussian scatter-add writes (1, ph, pw) blocks into
+        the (D, H, W) accumulator. One compiled program per (shape, n_jobs).
+        """
+        cfg = self.cfg
+        c_in = volume.shape[0]
+        patch = cfg.patch_size  # 2D (ph, pw)
+        n_jobs = starts3.shape[0]
+        gauss = (
+            jnp.asarray(gaussian_importance_map(tuple(patch)))
+            if cfg.use_gaussian
+            else jnp.ones(patch, jnp.float32)
+        )
+
+        def gather(st):  # st: (d, y, x)
+            idx = jnp.concatenate([jnp.zeros((1,), st.dtype), st])
+            tile = jax.lax.dynamic_slice(volume, idx, (c_in, 1, *patch))
+            return jnp.moveaxis(tile[:, 0], 0, -1)  # (ph, pw, C_in)
+
+        tiles = jax.vmap(gather)(starts3)
+
+        tb = max(1, cfg.tile_batch)
+        n_chunks = -(-n_jobs // tb)
+        pad_n = n_chunks * tb - n_jobs
+        tiles = jnp.pad(tiles, [(0, pad_n)] + [(0, 0)] * (tiles.ndim - 1))
+        chunks = tiles.reshape(n_chunks, tb, *tiles.shape[1:])
+        probs = jax.lax.map(lambda ch: self._forward_tiles(params, ch), chunks)
+        probs = probs.reshape(n_chunks * tb, *patch, cfg.num_classes)[:n_jobs]
+
+        out = jnp.zeros((*image_shape, cfg.num_classes), jnp.float32)
+        wsum = jnp.zeros(image_shape, jnp.float32)
+        weighted = (probs * gauss[None, ..., None])[:, None]  # (n, 1, ph, pw, C)
+        gauss3 = gauss[None]  # (1, ph, pw)
+
+        def body(i, carry):
+            out, wsum = carry
+            st = starts3[i]
+            idx = jnp.concatenate([st, jnp.zeros((1,), st.dtype)])
+            cur = jax.lax.dynamic_slice(out, idx, (1, *patch, cfg.num_classes))
+            out = jax.lax.dynamic_update_slice(out, cur + weighted[i], idx)
+            curw = jax.lax.dynamic_slice(wsum, st, (1, *patch))
+            wsum = jax.lax.dynamic_update_slice(wsum, curw + gauss3, st)
+            return out, wsum
+
+        out, wsum = jax.lax.fori_loop(0, n_jobs, body, (out, wsum))
+        out = out / wsum[..., None]
+        return jnp.moveaxis(out, -1, 0)  # (num_classes, D, H, W)
 
     def _run(self, params, image, starts, *, image_shape):
         """One fused program: gather tiles -> chunked batched TTA forward ->

@@ -75,6 +75,8 @@ class GroupNorm(nn.Module):
 
 
 def make_norm(kind: str, **kw):
+    if kind == "none":  # diagnostic ablations (tools/bench_epoch2d.py)
+        return lambda x: x
     if kind == "instance":
         return InstanceNorm()
     if kind == "group":

@@ -73,6 +73,29 @@ def test_trained_unet_through_predictor():
     np.testing.assert_allclose(probs.sum(0), 1.0, atol=1e-4)
 
 
+def test_2d_stack_matches_per_slice_loop():
+    """The depth-folded single-program path must equal slice-by-slice
+    predict() (and exercise depth bucketing: D=5 pads to 8)."""
+    from csof_tpu.models.unet import GenericUNet
+
+    net = GenericUNet(
+        num_classes=3, base_num_features=4,
+        pool_kernel_sizes=((2, 2),), conv_kernel_sizes=((3, 3), (3, 3)),
+        deep_supervision=False,
+    )
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)))
+    cfg = PredictorConfig(patch_size=(16, 16), num_classes=3, tile_batch=3)
+    pred = SlidingWindowPredictor(lambda p, x: net.apply(p, x), cfg)
+    vol = np.random.RandomState(2).rand(1, 5, 22, 26).astype(np.float32)
+    seg, probs = pred.predict_2d_stack(params, vol)
+    assert seg.shape == (5, 22, 26)
+    assert probs.shape == (3, 5, 22, 26)
+    for d in range(5):
+        s_d, p_d = pred.predict(params, vol[:, d])
+        np.testing.assert_allclose(probs[:, d], p_d, atol=1e-5)
+        np.testing.assert_array_equal(seg[d], s_d)
+
+
 def test_predictor_3d_patches():
     """3D tiled prediction through the same engine (config-2 capability)."""
     from csof_tpu.models.unet import GenericUNet

@@ -1,0 +1,163 @@
+"""Task002 2d epoch-time benchmark + ablations (utilization hunt).
+
+ref: documentation/expected_epoch_times.md — Task002_Heart 2d epoch
+(250 iterations, patch 320x256, batch 40, DS, SGD) takes 36.75 s on
+A100-40GB. We rebuild the same training geometry and time OUR jitted train
+step on the v5e chip, plus ablations that isolate where the time goes
+(norm passes, deep supervision, loss, backward).
+
+Usage: python tools/bench_epoch2d.py [variant ...]
+Variants: base fwd nonorm groupnorm nods lossonly f32
+Prints one JSON line per variant.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+REF_EPOCH_A100 = 36.75
+ITERS_PER_EPOCH = 250
+PATCH = (320, 256)
+BATCH = 40
+NUM_CLASSES = 3
+
+# Task002 2d plans geometry: 6 pool stages, all 3x3 kernels, base 32
+POOLS = ((2, 2),) * 6
+KERNELS = ((3, 3),) * 7
+
+
+def build(dtype="bfloat16", norm="instance", ds=True):
+    import jax
+    import jax.numpy as jnp
+
+    from csof_tpu.models.unet import GenericUNet
+
+    net = GenericUNet(
+        num_classes=NUM_CLASSES, base_num_features=32, pool_kernel_sizes=POOLS,
+        conv_kernel_sizes=KERNELS, deep_supervision=ds, norm=norm,
+        dtype=jnp.dtype(dtype),
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(BATCH, *PATCH, 1), jnp.float32)
+    y = jnp.asarray(rng.randint(0, NUM_CLASSES, (BATCH, *PATCH)), jnp.int32)
+    params = net.init(jax.random.PRNGKey(0), x[:1])
+    return net, params, x, y
+
+
+def make_step(net, tx, ds=True):
+    import jax
+
+    from csof_tpu.ops import losses as L
+
+    def loss_fn(p, x, y):
+        outs = net.apply(p, x)
+        if not ds:
+            outs = (outs,)
+        targets = L.downsample_seg_for_ds(y, POOLS)[: len(outs)]
+        return L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+
+    import optax
+
+    @jax.jit
+    def step(params, opt, x, y):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, y)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt, loss
+
+    return step, loss_fn
+
+
+def time_variant(name, **kw):
+    import jax
+    import optax
+
+    fwd_only = kw.pop("fwd_only", False)
+    loss_only = kw.pop("loss_only", False)
+    net, params, x, y = build(**kw)
+    ds = kw.get("ds", True)
+    tx = optax.chain(
+        optax.clip_by_global_norm(12.0),
+        optax.sgd(0.01, momentum=0.99, nesterov=True),
+    )
+    opt = tx.init(params)
+    step, loss_fn = make_step(net, tx, ds=ds)
+
+    if fwd_only:
+        run = jax.jit(lambda p, x: net.apply(p, x))
+        args = (params, x)
+    elif loss_only:
+        run = jax.jit(loss_fn)
+        args = (params, x, y)
+    else:
+        run = None
+
+    t_compile = time.perf_counter()
+    if run is not None:
+        out = run(*args)
+        jax.block_until_ready(out)
+        compile_s = time.perf_counter() - t_compile
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = run(*args)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        flops = None
+        try:
+            lowered = run.lower(*args).compile()
+            flops = lowered.cost_analysis().get("flops")
+        except Exception:
+            pass
+    else:
+        params, opt, loss = step(params, opt, x, y)
+        jax.block_until_ready(loss)
+        compile_s = time.perf_counter() - t_compile
+        reps = 10
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            params, opt, loss = step(params, opt, x, y)
+        jax.block_until_ready(loss)
+        dt = (time.perf_counter() - t0) / reps
+        flops = None
+        try:
+            lowered = step.lower(params, opt, x, y).compile()
+            flops = lowered.cost_analysis().get("flops")
+        except Exception:
+            pass
+
+    rec = {
+        "variant": name,
+        "sec_per_iter": round(dt, 4),
+        "epoch_sec": round(dt * ITERS_PER_EPOCH, 1),
+        "compile_s": round(compile_s, 1),
+        "speedup_vs_a100": round(REF_EPOCH_A100 / (dt * ITERS_PER_EPOCH), 3),
+    }
+    if flops:
+        rec["tflops_per_iter"] = round(flops / 1e12, 2)
+        rec["achieved_tflops"] = round(flops / 1e12 / dt, 1)
+        rec["mfu_vs_197tflops"] = round(flops / 1e12 / dt / 197, 3)
+    print(json.dumps(rec), flush=True)
+
+
+VARIANTS = {
+    "base": dict(),
+    "fwd": dict(fwd_only=True),
+    "lossonly": dict(loss_only=True),
+    "nonorm": dict(norm="none"),
+    "groupnorm": dict(norm="group"),
+    "nods": dict(ds=False),
+    "f32": dict(dtype="float32"),
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or ["base", "fwd", "lossonly", "nods"]
+    for n in names:
+        time_variant(n, **VARIANTS[n])
