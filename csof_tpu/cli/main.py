@@ -33,6 +33,10 @@ def convert_acdc_entry(argv=None):
     p.add_argument("-i", "--input", help="ACDC root (patient*/ dirs)")
     p.add_argument("-o", "--output", required=True, help="task output dir")
     p.add_argument("--synthetic", type=int, default=0, help="generate N phantom patients instead")
+    p.add_argument("--no-norm", action="store_true",
+                   help="NoNorm task variant (ref Task031/035/039): modality 'noNorm'")
+    p.add_argument("--export-unlabeled", action="store_true",
+                   help="also export unannotated cine frames as <pid>_frame<NN>_u")
     a = p.parse_args(argv)
     if not a.input and not a.synthetic:
         p.error("provide -i/--input (ACDC root) or --synthetic N")
@@ -40,7 +44,31 @@ def convert_acdc_entry(argv=None):
     if a.synthetic:
         src = Path(a.output).parent / "synthetic_raw"
         make_synthetic_acdc(src, num_patients=a.synthetic)
-    dj = convert_acdc(src, a.output)
+    dj = convert_acdc(src, a.output, no_norm=a.no_norm, export_unlabeled=a.export_unlabeled)
+    print(f"converted {dj['numTraining']} cases -> {a.output}")
+
+
+def convert_mnms_entry(argv=None):
+    """M&Ms conversion CLI (ref: Task114_heart_MNMs.py __main__)."""
+    from csof_tpu.data.conversion.mnms import (
+        convert_mnms,
+        make_synthetic_mnms,
+    )
+
+    p = argparse.ArgumentParser("csof_convert_mnms")
+    p.add_argument("-i", "--input", help="M&Ms root (walked for *_sa[_gt].nii.gz)")
+    p.add_argument("--info", help="M&Ms Dataset Information (.csv or .xlsx)")
+    p.add_argument("-o", "--output", required=True, help="task output dir")
+    p.add_argument("--synthetic", type=int, default=0, help="generate N phantom patients instead")
+    a = p.parse_args(argv)
+    if a.synthetic:
+        src = Path(a.output).parent / "synthetic_mnms_raw"
+        info = make_synthetic_mnms(src, num_patients=a.synthetic)
+    elif a.input and a.info:
+        src, info = a.input, a.info
+    else:
+        p.error("provide -i/--input + --info, or --synthetic N")
+    dj = convert_mnms(src, info, a.output)
     print(f"converted {dj['numTraining']} cases -> {a.output}")
 
 

@@ -35,8 +35,19 @@ def read_info_cfg(path: str | Path) -> dict:
     return out
 
 
-def convert_acdc(acdc_root: str | Path, out_task_dir: str | Path) -> dict:
-    """acdc_root: folder of patientXXX dirs. Writes the raw-task layout."""
+def convert_acdc(
+    acdc_root: str | Path, out_task_dir: str | Path,
+    no_norm: bool = False, export_unlabeled: bool = False,
+) -> dict:
+    """acdc_root: folder of patientXXX dirs. Writes the raw-task layout.
+
+    `no_norm=True` reproduces the reference's NoNorm task variants
+    (ref: Task031/035/039_AutomaticCardiacDetectionChallengeNoNorm.py): the
+    modality is named "noNorm" so the planner selects the no-op intensity
+    scheme (data/planning.py). `export_unlabeled=True` additionally exports
+    every unannotated cine frame as `<pid>_frame<NN>_u` into imagesTr and
+    lists them under dataset.json["unlabeled"] (ref: Task031 NoNorm:71-87 —
+    fuel for the semi-/self-supervised flow trainers)."""
     acdc_root, out = Path(acdc_root), Path(out_task_dir)
     images_tr = out / "imagesTr"
     labels_tr = out / "labelsTr"
@@ -46,6 +57,7 @@ def convert_acdc(acdc_root: str | Path, out_task_dir: str | Path) -> dict:
 
     ed_es = {}
     cases = []
+    unlabeled = []
     for pdir in sorted(acdc_root.glob("patient*")):
         info = read_info_cfg(pdir / "Info.cfg")
         ed, es = int(info["ED"]), int(info["ES"])
@@ -63,11 +75,25 @@ def convert_acdc(acdc_root: str | Path, out_task_dir: str | Path) -> dict:
         cine = pdir / f"{pid}_4d.nii.gz"
         if cine.exists():
             shutil.copy(cine, cine_dir / f"{pid}_4d.nii.gz")
+            if export_unlabeled:
+                vol4d = load_nifti(cine)
+                for t in range(vol4d.data_czyx.shape[0]):
+                    fnum = t + 1  # ACDC frame numbers are 1-based
+                    if fnum in (ed, es):
+                        continue
+                    ucase = f"{pid}_frame{fnum:02d}_u"
+                    save_nifti(
+                        vol4d.data_czyx[t].astype(np.float32),
+                        images_tr / f"{ucase}_0000.nii.gz",
+                        affine=vol4d.affine,
+                        spacing_xyz=vol4d.itk_spacing,
+                    )
+                    unlabeled.append(ucase)
 
     dataset_json = {
-        "name": "ACDC",
+        "name": "ACDCNoNorm" if no_norm else "ACDC",
         "tensorImageSize": "3D",
-        "modality": {"0": "MRI"},
+        "modality": {"0": "noNorm" if no_norm else "MRI"},
         "labels": {str(k): v for k, v in ACDC_LABELS.items()},
         "numTraining": len(cases),
         "training": [
@@ -75,6 +101,11 @@ def convert_acdc(acdc_root: str | Path, out_task_dir: str | Path) -> dict:
         ],
         "ed_es_numbers": ed_es,
     }
+    if export_unlabeled:
+        dataset_json["numUnlabeled"] = len(unlabeled)
+        dataset_json["unlabeled"] = [
+            {"image": f"./imagesTr/{c}.nii.gz"} for c in unlabeled
+        ]
     (out / "dataset.json").write_text(json.dumps(dataset_json, indent=2))
     return dataset_json
 

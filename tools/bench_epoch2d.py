@@ -89,8 +89,13 @@ def time_variant(name, **kw):
     opt = tx.init(params)
     step, loss_fn = make_step(net, tx, ds=ds)
 
+    import jax.numpy as jnp
+
     if fwd_only:
-        run = jax.jit(lambda p, x: net.apply(p, x))
+        # reduce to a scalar inside jit so the timing fetch is tiny; the
+        # remote platform's block_until_ready does not synchronize, so we
+        # time via a host transfer of a value that depends on every rep
+        run = jax.jit(lambda p, x: sum(o.sum() for o in jax.tree.leaves(net.apply(p, x))))
         args = (params, x)
     elif loss_only:
         run = jax.jit(loss_fn)
@@ -101,13 +106,15 @@ def time_variant(name, **kw):
     t_compile = time.perf_counter()
     if run is not None:
         out = run(*args)
-        jax.block_until_ready(out)
+        float(np.asarray(out))
         compile_s = time.perf_counter() - t_compile
         reps = 10
         t0 = time.perf_counter()
+        acc = None
         for _ in range(reps):
             out = run(*args)
-        jax.block_until_ready(out)
+            acc = out if acc is None else acc + out
+        float(np.asarray(acc))  # host transfer = real synchronization
         dt = (time.perf_counter() - t0) / reps
         flops = None
         try:
@@ -117,13 +124,15 @@ def time_variant(name, **kw):
             pass
     else:
         params, opt, loss = step(params, opt, x, y)
-        jax.block_until_ready(loss)
+        float(np.asarray(loss))
         compile_s = time.perf_counter() - t_compile
         reps = 10
         t0 = time.perf_counter()
+        lsum = 0.0
         for _ in range(reps):
             params, opt, loss = step(params, opt, x, y)
-        jax.block_until_ready(loss)
+            lsum = lsum + loss
+        float(np.asarray(lsum))  # host transfer = real synchronization
         dt = (time.perf_counter() - t0) / reps
         flops = None
         try:
