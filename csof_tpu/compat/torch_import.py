@@ -24,15 +24,20 @@ import numpy as np
 
 
 def _conv_w(t):
-    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+    # torch conv weight (out, in, *spatial) -> flax kernel (*spatial, in, out)
+    t = np.asarray(t)
+    nd = t.ndim - 2
+    return np.transpose(t, (*range(2, 2 + nd), 1, 0))
 
 
 def _tconv_w(t):
-    # torch ConvTranspose2d weight: (in, out, kh, kw); lax.conv_transpose
-    # with transpose_kernel=False consumes (kh, kw, in, out) with spatial
+    # torch ConvTranspose weight: (in, out, *spatial); lax.conv_transpose
+    # with transpose_kernel=False consumes (*spatial, in, out) with spatial
     # axes mirrored relative to torch's scatter convention
-    w = np.transpose(np.asarray(t), (2, 3, 0, 1))
-    return w[::-1, ::-1]
+    t = np.asarray(t)
+    nd = t.ndim - 2
+    w = np.transpose(t, (*range(2, 2 + nd), 0, 1))
+    return w[(slice(None, None, -1),) * nd]
 
 
 def import_generic_unet_weights(

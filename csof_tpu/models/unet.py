@@ -92,10 +92,14 @@ class GenericUNet(nn.Module):
                 kernel_init=nn.initializers.he_normal(),
             )(x)
             x = jnp.concatenate([x, skip], axis=-1)
+            # decoder kernels: the reference indexes conv_kernel_sizes[-(u+1)]
+            # (ref: generic_UNet.py:346), i.e. level L uses kernels[L+1] — for
+            # anisotropic plans the full-res decoder stage uses the 3x3x3
+            # kernel, NOT the (1,3,3) of encoder level 0
             x = StackedConvs(
                 self.features_at(level),
                 self.conv_per_stage,
-                self.conv_kernel_sizes[level],
+                self.conv_kernel_sizes[level + 1],
                 norm=self.norm,
                 dtype=self.dtype,
             )(x)

@@ -18,6 +18,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def one_hot(labels: jnp.ndarray, num_classes: int) -> jnp.ndarray:
@@ -48,18 +49,31 @@ def get_tp_fp_fn_tn(
         m = mask[..., None] if mask.ndim == probs.ndim - 1 else mask
         probs = probs * m
         y = y * m
-    tp = probs * y
-    fp = probs * (1 - y)
-    fn = (1 - probs) * y
-    tn = (1 - probs) * (1 - y)
-    if square:
-        tp, fp, fn, tn = tp**2, fp**2, fn**2, tn**2
-    return (
-        jnp.sum(tp, axis=axes),
-        jnp.sum(fp, axis=axes),
-        jnp.sum(fn, axis=axes),
-        jnp.sum(tn, axis=axes),
-    )
+    if square or mask is not None:
+        # exact reference formulas (squared stats / masked tn are not
+        # expressible via the sum identities below)
+        tp = probs * y
+        fp = probs * (1 - y)
+        fn = (1 - probs) * y
+        tn = (1 - probs) * (1 - y)
+        if square:
+            tp, fp, fn, tn = tp**2, fp**2, fn**2, tn**2
+        return (
+            jnp.sum(tp, axis=axes),
+            jnp.sum(fp, axis=axes),
+            jnp.sum(fn, axis=axes),
+            jnp.sum(tn, axis=axes),
+        )
+    # hot path (train-step dice): one elementwise product + three cheap
+    # reductions instead of four whole-tensor products — tp = sum(p*y),
+    # fp = sum(p) - tp, fn = sum(y) - tp, tn = count - sp - sy + tp. Cuts
+    # the HBM traffic of the loss ~3x (the products dominate at nnU-Net
+    # batch sizes) and its backward even more.
+    tp = jnp.sum(probs * y, axis=axes)
+    sp = jnp.sum(probs, axis=axes)
+    sy = jnp.sum(y, axis=axes)
+    count = np.prod([probs.shape[a] for a in axes], dtype=np.float64)
+    return tp, sp - tp, sy - tp, jnp.asarray(count, probs.dtype) - sp - sy + tp
 
 
 def soft_dice_loss(
@@ -90,10 +104,13 @@ def cross_entropy_loss(
     logits: jnp.ndarray, target: jnp.ndarray, ignore_index: int | None = None
 ) -> jnp.ndarray:
     """RobustCrossEntropy (ref: crossentropy.py:5); channels-last."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(
-        logp, jnp.clip(target, 0)[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    # CE without gather: -logp[target] == logsumexp(logits) - logits[target],
+    # and logits[target] = sum(logits * onehot) fuses into elementwise ops.
+    # take_along_axis lowers to a TPU gather (and scatter-add in the
+    # backward), which dominated the train-step loss cost.
+    tgt = jnp.clip(target, 0).astype(jnp.int32)
+    y = (tgt[..., None] == jnp.arange(logits.shape[-1], dtype=jnp.int32)).astype(logits.dtype)
+    nll = jax.nn.logsumexp(logits, axis=-1) - jnp.sum(logits * y, axis=-1)
     if ignore_index is not None:
         valid = (target != ignore_index).astype(logits.dtype)
         return jnp.sum(nll * valid) / jnp.maximum(jnp.sum(valid), 1.0)
