@@ -75,6 +75,10 @@ class SegFlowModelConfig:
     corr_stride: tuple[int, ...] = (2, 1, 1)
     use_cost_volume: bool = True
     use_gru: bool = True
+    # per-scale auxiliary decoder heads, weighted 1/2^i in the loss
+    # (ref: video.yaml `deep_supervision`; decoder DS heads at
+    # ref: nnunet/lib/decoder_alt.py:852-856)
+    deep_supervision: bool = False
     kernel_size: int = 3
     pos_1d: Literal["sin", "learn"] = "sin"
     backward_flow: bool = True

@@ -61,29 +61,50 @@ class Encoder(nn.Module):
 
 class Decoder(nn.Module):
     """Upsample + skip-fusion decoder with a linear head
-    (ref: nnunet/lib/decoder_alt.py:781 Decoder2D)."""
+    (ref: nnunet/lib/decoder_alt.py:781 Decoder2D).
+
+    With `deep_supervision` on, each intermediate decoder stage also emits a
+    full-resolution auxiliary head (the reference upsamples per-stage DS
+    heads straight to full res with a stride-2^k transposed conv,
+    ref: decoder_alt.py:852-856; here: 1x1 conv + bilinear upsample). The DS
+    params only exist when the flag is on, so checkpoints trained without it
+    are unaffected."""
 
     out_dims: Sequence[int]  # high-to-low resolution feature dims
     head_channels: int
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
     head_init_scale: float = 1.0
+    deep_supervision: bool = False
 
     @nn.compact
     def __call__(self, bottleneck, skips):
         x = bottleneck
+        ds_heads = []
+        n_up = len(skips) - 1
         for i, skip in enumerate(reversed(skips[:-1])):
             f = self.out_dims[len(skips) - 2 - i]
             x = upsample_linear(x[None], (2, 2))[0]
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
             x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
+            if self.deep_supervision and i < n_up - 1:
+                ds = nn.Conv(
+                    self.head_channels, (1, 1), dtype=jnp.float32,
+                    name=f"ds_head_{i}",
+                )(x.astype(jnp.float32))
+                factor = 2 ** (n_up - 1 - i)
+                ds_heads.append(upsample_linear(ds[None], (factor, factor))[0])
         head = nn.Conv(
             self.head_channels,
             (1, 1),
             kernel_init=nn.initializers.normal(1e-5 * self.head_init_scale),
             dtype=jnp.float32,
         )(x.astype(jnp.float32))
+        if self.deep_supervision:
+            # finest-first list, matching the reference's reversed
+            # output_list (ref: decoder_alt.py:775)
+            return (head, *reversed(ds_heads)), x
         return head, x
 
 
@@ -164,24 +185,41 @@ class SegFlowStep(nn.Module):
         else:
             dec_in = bottleneck
 
-        dflow, _ = Decoder(cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder")(
-            dec_in, fused
-        )
-        seg_logits, _ = Decoder(
+        flow_out, _ = Decoder(
+            cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder",
+            deep_supervision=cfg.deep_supervision,
+        )(dec_in, fused)
+        seg_out, _ = Decoder(
             cfg.out_encoder_dims, self.num_classes, cfg.norm, dtype,
             name="seg_decoder", head_init_scale=1e5,
+            deep_supervision=cfg.deep_supervision,
         )(q_skips[-1], q_skips)
 
+        if cfg.deep_supervision:
+            dflow, flow_ds = flow_out[0], flow_out[1:]
+            seg_logits, seg_ds = seg_out[0], seg_out[1:]
+        else:
+            dflow, flow_ds = flow_out, ()
+            seg_logits, seg_ds = seg_out, ()
+
         # frame 0 anchors the sequence: its flow step is identity
-        dflow = dflow * (t_idx > 0).astype(dflow.dtype)
+        gate = (t_idx > 0).astype(dflow.dtype)
+        dflow = dflow * gate
         cum_flow = cum_flow + dflow  # cumulative backward flow (ref :1419)
         new_carry = (hidden, cum_flow, cur, x0, frame)
-        return new_carry, {
+        out = {
             "flow": dflow,
             "cum_flow": cum_flow,
             "seg_logits": seg_logits,
             "registered": warp_image(frame, cum_flow, padding="border"),
         }
+        if cfg.deep_supervision:
+            # auxiliary full-res heads per decoder scale, finest-first
+            # (weights 1/2^i applied in the loss; ref trainer
+            # SegFlowGaussian.py:376-381 + MultipleOutputLoss2)
+            out["flow_ds"] = tuple(f * gate for f in flow_ds)
+            out["seg_ds"] = seg_ds
+        return new_carry, out
 
 
 class SegFlow(nn.Module):

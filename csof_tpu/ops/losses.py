@@ -84,12 +84,19 @@ def soft_dice_loss(
     smooth: float = 1e-5,
     mask: jnp.ndarray | None = None,
     axis_reduce: str = "mean",
+    probs_input: bool = False,
 ) -> jnp.ndarray:
     """SoftDiceLoss (ref: dice_loss.py:201-250): 1 - mean Dice over classes
     (background dropped unless do_bg), optional batch-dice (statistics summed
     over the batch axis before the ratio — the DDP trainer's global batch
-    dice, ref: nnUNetTrainerV2_DDP.py:247-280, maps to a psum of tp/fp/fn)."""
-    probs = jax.nn.softmax(logits, axis=-1)
+    dice, ref: nnUNetTrainerV2_DDP.py:247-280, maps to a psum of tp/fp/fn).
+
+    `probs_input=True` skips the softmax — used for dice on bilinear-warped
+    one-hot maps (the reference's seg_registered_memory component,
+    ref: SegFlowGaussian.py(trainer):1482-1488; it pushes the warped one-hot
+    through its softmax nonlin, which distorts probabilities — we use the
+    warped one-hot directly)."""
+    probs = logits if probs_input else jax.nn.softmax(logits, axis=-1)
     axes = tuple(range(0, probs.ndim - 1)) if batch_dice else tuple(range(1, probs.ndim - 1))
     tp, fp, fn, _ = get_tp_fp_fn_tn(probs, target, axes=axes, mask=mask)
     nominator = 2 * tp + smooth
@@ -228,11 +235,20 @@ def contour_point_loss(
 # ---------------------------------------------------------------------------
 
 
-def ncc_loss(pred: jnp.ndarray, target: jnp.ndarray, window: int = 9, eps: float = 1e-5) -> jnp.ndarray:
+def ncc_loss(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    window: int = 9,
+    eps: float = 1e-3,
+    clip: tuple[float, float] | None = (0.001, 0.999),
+    reduction: str = "mean",
+) -> jnp.ndarray:
     """Windowed local normalized cross-correlation, returned as 1 - NCC
-    (so 0 for identical images). Ref: nnunet/lib/loss.py:15-75 computes local
-    sums via conv with an all-ones kernel over a 9x9 window; identical math
-    here via depthwise sum-pool (reduce_window).
+    (so ~0 for identical images). Ref: nnunet/lib/loss.py:15-75 computes
+    local sums via a zero-padded conv with an all-ones kernel over a 9x9
+    window, squares the correlation, clamps cc to [0.001, 0.999] and uses
+    eps=1e-3 in the denominator; identical math here via depthwise sum-pool
+    (reduce_window, "SAME" = zero padding like F.conv2d(padding=win//2)).
 
     pred/target: (N, *spatial, C) with C=1 typically; 2D or 3D.
     """
@@ -254,31 +270,66 @@ def ncc_loss(pred: jnp.ndarray, target: jnp.ndarray, window: int = 9, eps: float
     i_var = i2_sum - 2 * i_mu * i_sum + i_mu * i_mu * win_size
     j_var = j2_sum - 2 * j_mu * j_sum + j_mu * j_mu * win_size
     cc = (cross * cross) / (i_var * j_var + eps)
+    if clip is not None:
+        cc = jnp.clip(cc, clip[0], clip[1])
+    if reduction == "none":
+        # per-pixel loss map (ref: NCC(reduction=None), lib/loss.py:71-75) —
+        # the canonical trainer masks this with the ED strain mask before
+        # the mean (ref: SegFlowGaussian.py(trainer):1560-1566)
+        return 1.0 - cc
     return 1.0 - jnp.mean(cc)
 
 
-def spatial_gradient_penalty(flow: jnp.ndarray, order: int = 2) -> jnp.ndarray:
+def _central_gradient(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Central difference 0.5*(x[i+1] - x[i-1]) with replicate padding at the
+    ends — the semantics of kornia.filters.spatial_gradient3d(mode='diff')
+    that the reference's smoothness losses are built on
+    (ref: nnunet/lib/loss.py:103 / :155)."""
+    lo = jnp.take(x, jnp.array([0]), axis=axis)
+    hi = jnp.take(x, jnp.array([x.shape[axis] - 1]), axis=axis)
+    xp = jnp.concatenate([lo, x, hi], axis=axis)
+    n = x.shape[axis]
+    fwd = jax.lax.slice_in_dim(xp, 2, n + 2, axis=axis)
+    bwd = jax.lax.slice_in_dim(xp, 0, n, axis=axis)
+    return 0.5 * (fwd - bwd)
+
+
+def spatial_gradient_penalty(
+    flow: jnp.ndarray, order: int = 2, reduction: str = "mean"
+) -> jnp.ndarray:
     """Mean squared spatial gradient of a dense flow field
-    (ref: SpatialSmoothingLoss, lib/loss.py:80-128).
+    (ref: SpatialSmoothingLoss, lib/loss.py:80-128): central differences with
+    replicate padding (kornia spatial_gradient3d 'diff' kernel = ±0.5),
+    squared, averaged over the x and y derivative channels.
 
     flow: (N, H, W, 2) or (N, D, H, W, 3); penalty over spatial axes only.
     """
     ndim = flow.ndim - 2
     total = 0.0
     for ax in range(1, 1 + ndim):
-        d = jnp.diff(flow, axis=ax)
-        total = total + jnp.mean(jnp.abs(d) ** order)
-    return total / ndim
+        d = _central_gradient(flow, axis=ax)
+        total = total + jnp.abs(d) ** order
+    m = jnp.mean(total / ndim, axis=-1)  # mean over flow channels
+    if reduction == "none":
+        return m  # (N, *spatial) per-pixel map (ref reduction=None path)
+    return jnp.mean(m)
 
 
-def temporal_gradient_penalty(flow_seq: jnp.ndarray, order: int = 2) -> jnp.ndarray:
+def temporal_gradient_penalty(
+    flow_seq: jnp.ndarray, order: int = 2, reduction: str = "mean"
+) -> jnp.ndarray:
     """Mean squared temporal gradient over the frame axis
-    (ref: TemporalSmoothingLoss, lib/loss.py:130-178).
+    (ref: TemporalSmoothingLoss, lib/loss.py:130-178): central difference
+    along T with replicate padding, matching kornia spatial_gradient3d's
+    z-derivative channel on a (B, C, T, H, W) arrangement.
 
     flow_seq: (T, N, H, W, 2) — leading time axis.
     """
-    d = jnp.diff(flow_seq, axis=0)
-    return jnp.mean(jnp.abs(d) ** order)
+    d = _central_gradient(flow_seq, axis=0)
+    m = jnp.mean(jnp.abs(d) ** order, axis=-1)  # mean over flow channels
+    if reduction == "none":
+        return m  # (T, N, *spatial) per-pixel map (ref reduction=None path)
+    return jnp.mean(m)
 
 
 def raft_sequence_loss(

