@@ -11,8 +11,9 @@ without changing this interface.
 
 from __future__ import annotations
 
-import numpy as np
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -32,7 +33,14 @@ def sine_pos_embed_2d(h: int, w: int, dim: int, temperature: float = 10000.0) ->
 
 class CrossAttentionLayer(nn.Module):
     """Pre-norm cross-attention + FFN over flattened spatial tokens
-    (ref: vit_transformer.py CrossAttentionLayer)."""
+    (ref: vit_transformer.py CrossAttentionLayer).
+
+    Attention is written out explicitly (qkv projections + softmax) so the
+    per-head weights can be `sow`n into the "intermediates" collection for
+    the TensorBoard attention-map visualizer (ref: visualization.py:1035
+    `log_attn_map_images`; the reference trainer logs `out['weights']`).
+    Callers opt in with `model.apply(..., mutable=["intermediates"])` —
+    the sown map is the query-averaged attention over keys, (H, W)."""
 
     d_model: int
     num_heads: int = 4
@@ -55,9 +63,20 @@ class CrossAttentionLayer(nn.Module):
         k = tokens(key_map) + pos
         v = tokens(value_map)
         qn = nn.LayerNorm(dtype=self.dtype)(q)
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, qkv_features=self.d_model, dtype=self.dtype
-        )(qn[None], k[None], v[None])[0]
+        nh, hd = self.num_heads, self.d_model // self.num_heads
+        qh = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(qn).reshape(-1, nh, hd)
+        kh = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(k).reshape(-1, nh, hd)
+        vh = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(v).reshape(-1, nh, hd)
+        logits = jnp.einsum("qhd,khd->hqk", qh, kh, preferred_element_type=jnp.float32)
+        weights = jax.nn.softmax(logits / np.sqrt(hd), axis=-1)
+        # key-space saliency: attention mass each key receives, averaged over
+        # heads and queries -> (H, W) map for the visualizer
+        self.sow(
+            "intermediates", "attn_weights",
+            jnp.mean(weights, axis=(0, 1)).reshape(h, w).astype(jnp.float32),
+        )
+        attn = jnp.einsum("hqk,khd->qhd", weights.astype(self.dtype), vh).reshape(-1, self.d_model)
+        attn = nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(attn)
         x = q + attn
         y = nn.LayerNorm(dtype=self.dtype)(x)
         y = nn.Dense(self.dim_feedforward, dtype=self.dtype)(y)

@@ -154,6 +154,14 @@ class SegFlowStep(nn.Module):
                 ConvNormAct(q.shape[-1], (3, 3), norm=cfg.norm, dtype=dtype,
                             name=f"skip_fuse_{lvl}")(cat[None])[0]
             )
+            if cfg.use_cost_volume:
+                # similarity-map observability: best local correlation per
+                # pixel, for the TB visualizer (ref: visualization.py:370
+                # log_sim_images on the reference's per-scale 'sim' outputs)
+                self.sow(
+                    "intermediates", f"sim_{lvl}",
+                    jnp.max(corr.astype(jnp.float32), axis=-1),
+                )
 
         cur = fused[-1]
         # inter-frame distance conditioning (the reference feeds the sampled
@@ -252,6 +260,7 @@ class SegFlow(nn.Module):
         scan = nn.scan(
             step_cls,
             variable_broadcast="params",
+            variable_axes={"intermediates": 0},  # stack sown maps over T
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,

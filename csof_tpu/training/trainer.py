@@ -398,6 +398,42 @@ class Trainer:
             )
         return loss, aux
 
+    def save_debug_information(self):
+        """Dump the full trainer/config state to `debug.json` and a
+        torchinfo-style architecture printout to `network_architecture.txt`
+        beside the checkpoints (ref: nnUNetTrainer.py:447-463
+        `save_debug_information`; ref: network_trainer.py:425
+        `plot_network_architecture` falls back to printing the network)."""
+        import dataclasses
+
+        from csof_tpu.utils.logging import count_parameters, model_summary
+
+        dct: dict[str, Any] = {
+            "config": dataclasses.asdict(self.config),
+            "output_folder": str(self.output_folder),
+            "epoch": self.epoch,
+            "model_class": type(self.model).__name__,
+            "mesh_shape": {k: int(v) for k, v in self.mesh.shape.items()},
+            "devices": [str(d) for d in np.asarray(self.mesh.devices).ravel()],
+            "jax_backend": jax.default_backend(),
+            "trainer_constants": {
+                "train_loss_ma_alpha": self.train_loss_ma_alpha,
+                "val_eval_criterion_alpha": self.val_eval_criterion_alpha,
+                "patience": self.patience,
+                "train_loss_ma_eps": self.train_loss_ma_eps,
+                "checkpoint_every": self.checkpoint_every,
+                "nan_guard": self.nan_guard,
+            },
+        }
+        if self.state is not None:
+            dct["num_parameters"] = count_parameters(self.state.params)
+            (self.output_folder / "network_architecture.txt").write_text(
+                model_summary(self.state.params)
+            )
+        (self.output_folder / "debug.json").write_text(
+            json.dumps(dct, indent=2, default=str)
+        )
+
     def run_training(
         self,
         train_iter: Iterator[dict],
@@ -410,6 +446,12 @@ class Trainer:
 
         if log_fn is None:
             log_fn = TrainingLog(self.output_folder)
+        # observability parity: debug.json + architecture printout are
+        # written at training start (ref: nnUNetTrainer.py:465 run_training)
+        try:
+            self.save_debug_information()
+        except Exception:
+            pass  # debug dumps must never kill training
         tb = None
         if tensorboard:
             from csof_tpu.utils.visualization import TensorBoardVisualizer

@@ -55,6 +55,31 @@ def seg_overlay(image: np.ndarray, seg: np.ndarray, alpha: float = 0.45) -> np.n
     return out.astype(np.uint8)
 
 
+def attention_heatmap(
+    image: np.ndarray, attn: np.ndarray, alpha: float = 0.55, cmap: str = "plasma"
+) -> np.ndarray:
+    """(H, W) image in [0,1] + (h, w) attention/similarity map (any scale) ->
+    (H, W, 3) uint8 colormapped overlay. The low-res map is bilinearly
+    resized to the image and min-max normalized, matching the reference's
+    attention logging (ref: visualization.py:1035-1050 log_attn_map_images:
+    cv.resize + colormap + add_images)."""
+    from scipy.ndimage import zoom
+
+    attn = np.asarray(attn, np.float32)
+    if attn.shape != image.shape:
+        factors = (image.shape[0] / attn.shape[0], image.shape[1] / attn.shape[1])
+        attn = zoom(attn, factors, order=1)
+    lo, hi = float(attn.min()), float(attn.max())
+    attn = (attn - lo) / (hi - lo + 1e-8)
+    import matplotlib
+
+    matplotlib.use("Agg")
+
+    heat = matplotlib.colormaps[cmap](attn)[..., :3] * 255.0
+    img = np.repeat(np.clip(image, 0, 1)[..., None] * 255.0, 3, axis=-1)
+    return ((1 - alpha) * img + alpha * heat).astype(np.uint8)
+
+
 def strain_curve_figure(strain: dict, out_path: str | Path | None = None):
     """Plot rv/lv strain curves (ref: Visualizer.log_strain)."""
     import matplotlib
@@ -98,6 +123,55 @@ class TensorBoardVisualizer:
         """frames: (T, H, W) in [0, 1]."""
         vid = (np.clip(frames, 0, 1) * 255).astype(np.uint8)[None, :, None]
         self.writer.add_video(tag, vid, step, fps=fps)
+
+    def log_attention(self, tag: str, image: np.ndarray, attn: np.ndarray, step: int):
+        """Colormapped attention-weights overlay
+        (ref: visualization.py:1035 log_attn_map_images). `attn` may be any
+        resolution; it is resized to `image`."""
+        self.writer.add_image(tag, attention_heatmap(image, attn), step, dataformats="HWC")
+
+    def log_similarity(
+        self, tag: str, image: np.ndarray, sims: dict[str, np.ndarray], step: int
+    ):
+        """Per-scale similarity maps (e.g. the SegFlow correlation volumes'
+        per-pixel max, sown as intermediates `sim_<lvl>`), each overlaid on
+        the input frame (ref: visualization.py:370 log_sim_images)."""
+        self.writer.add_image(
+            f"{tag}/input",
+            (np.clip(image, 0, 1) * 255).astype(np.uint8)[..., None],
+            step, dataformats="HWC",
+        )
+        for name, sim in sims.items():
+            self.writer.add_image(
+                f"{tag}/{name}", attention_heatmap(image, sim), step, dataformats="HWC"
+            )
+
+    def log_segflow_intermediates(
+        self, tag: str, video: np.ndarray, intermediates: dict, step: int, frame: int = -1
+    ):
+        """Log one frame's sown SegFlow maps: the two bottleneck attention
+        maps + per-scale correlation similarities. `intermediates` is the
+        mutable collection returned by
+        `model.apply(..., mutable=['intermediates'])[1]['intermediates']`."""
+        flat = {}
+
+        def walk(node, prefix):
+            for k, v in node.items():
+                if isinstance(v, dict):
+                    walk(v, prefix + [k])
+                else:
+                    flat["/".join(prefix + [k])] = v
+
+        walk(intermediates, [])
+        img = np.asarray(video[frame, ..., 0] if video.ndim == 4 else video[frame])
+        for path, val in flat.items():
+            arr = np.asarray(val[0] if isinstance(val, (tuple, list)) else val)
+            if arr.ndim == 3:  # (T, h, w) stacked over the scan
+                arr = arr[frame]
+            key = path.split("/")[-2] if path.endswith("attn_weights") else path.split("/")[-1]
+            self.writer.add_image(
+                f"{tag}/{key}", attention_heatmap(img, arr), step, dataformats="HWC"
+            )
 
     def close(self):
         self.writer.close()

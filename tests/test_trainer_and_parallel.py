@@ -67,6 +67,24 @@ def test_seg_trainer_runs_and_improves(tmp_path):
     assert hist.eval_metrics, "online fg-dice must be tracked"
 
 
+def test_debug_information_dump(tmp_path):
+    """debug.json + network_architecture.txt observability parity
+    (ref: nnUNetTrainer.py:447-463; network_trainer.py:425)."""
+    import json
+
+    cfg = seg_config()
+    it = seg_batches()
+    tr = Trainer(cfg, tmp_path, num_classes=2, example_batch=next(it))
+    tr.save_debug_information()
+    dct = json.loads((tmp_path / "debug.json").read_text())
+    assert dct["model_class"] == "GenericUNet"
+    assert dct["num_parameters"] > 0
+    assert dct["config"]["model"] == "unet2d"
+    assert dct["trainer_constants"]["patience"] == 50
+    arch = (tmp_path / "network_architecture.txt").read_text()
+    assert "total params" in arch and "kernel" in arch
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg = seg_config()
     it = seg_batches()
