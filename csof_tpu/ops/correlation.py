@@ -58,6 +58,51 @@ def lookup_correlation(
 
     pyramid: list of (H, W, Hl, Wl); coords: (H, W, 2) current target
     positions in level-0 units. Returns (H, W, L*(2r+1)^2) features.
+
+    TPU-first formulation: NO gathers. The bilinear window lookup separates
+    per axis into a *two-hot weighted selector matrix* — for query n and
+    window row dy, Ry[n, dy, y] = (1-fy)*[y == y0+dy] + fy*[y == y0+dy+1]
+    (and likewise Cx for columns) — so the whole lookup is two batched
+    matmuls out = Ry @ vol @ Cx^T riding the MXU. Out-of-range window taps
+    produce all-zero selector rows, which IS zero-padded bilinear sampling,
+    so no explicit masking or padding is needed. Replaces the previous
+    separable-lerp + integer-window gather (gathers are scalar-unit work on
+    TPU and dominated RAFT's runtime).
+    """
+    h, w = coords.shape[:2]
+    n = h * w
+    r = radius
+    k = 2 * r + 1
+    dyx = jnp.arange(-r, r + 1, dtype=jnp.int32)
+    out = []
+    for lvl, corr in enumerate(pyramid):
+        hl, wl = corr.shape[2], corr.shape[3]
+        vol = corr.reshape(n, hl, wl)
+        c = coords.reshape(n, 2) / (2.0**lvl)
+        cy, cx = c[:, 0], c[:, 1]
+        y0f, x0f = jnp.floor(cy), jnp.floor(cx)
+        fy = (cy - y0f)[:, None, None]
+        fx = (cx - x0f)[:, None, None]
+        y0 = y0f.astype(jnp.int32)[:, None, None] + dyx[None, :, None]  # (n, K, 1)
+        x0 = x0f.astype(jnp.int32)[:, None, None] + dyx[None, :, None]
+        ygrid = jnp.arange(hl, dtype=jnp.int32)[None, None, :]
+        xgrid = jnp.arange(wl, dtype=jnp.int32)[None, None, :]
+        ry = (ygrid == y0) * (1 - fy) + (ygrid == y0 + 1) * fy  # (n, K, Hl)
+        cxm = (xgrid == x0) * (1 - fx) + (xgrid == x0 + 1) * fx  # (n, K, Wl)
+        tmp = jnp.einsum("nky,nyx->nkx", ry, vol, preferred_element_type=jnp.float32)
+        val = jnp.einsum(
+            "nkx,njx->nkj", tmp, cxm, preferred_element_type=jnp.float32
+        )  # (n, Kdy, Kdx)
+        out.append(val.reshape(h, w, k * k))
+    return jnp.concatenate(out, axis=-1)
+
+
+def lookup_correlation_gather(
+    pyramid: list[jnp.ndarray], coords: jnp.ndarray, radius: int = 4
+) -> jnp.ndarray:
+    """Previous separable-lerp + window-gather implementation, kept as the
+    semantic reference for tests (one integer gather of the K^2 window per
+    query after factoring out the shared fractional offset).
     """
     h, w = coords.shape[:2]
     r = radius

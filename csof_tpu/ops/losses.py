@@ -165,12 +165,27 @@ def deep_supervision_weights(num_outputs: int, mask_last: bool = True) -> jnp.nd
 
 def deep_supervision_loss(outputs: Sequence[jnp.ndarray], targets: Sequence[jnp.ndarray], loss_fn, weights=None):
     """MultipleOutputLoss2 (ref: deep_supervision.py:24): weighted sum of the
-    loss at each scale; `targets` are the seg maps downsampled per scale."""
+    loss at each scale; `targets` are the seg maps downsampled per scale.
+
+    Weights are kept STATIC (host floats) and zero-weighted scales are
+    skipped at trace time: a traced-zero multiply still emits the whole
+    scale's loss+backward into the program, and on the v5e that tipped XLA
+    into a 60% slower train step for certain scale counts (measured in
+    tools/bench_epoch2d.py: 6-scale 195 ms/iter vs 122 ms with the zero
+    scale dropped — same math, same gradients)."""
     if weights is None:
-        weights = deep_supervision_weights(len(outputs))
+        # host-side copy of the deep_supervision_weights formula (the jnp
+        # version may be traced under jit and so cannot be inspected)
+        n = len(outputs)
+        w = np.array([1 / (2**i) for i in range(n)])
+        if n > 2:
+            w[-1] = 0.0
+        weights = w / w.sum()
+    weights = np.asarray(weights)  # must be static (host) values
     total = 0.0
     for i, (o, t) in enumerate(zip(outputs, targets)):
-        total = total + weights[i] * loss_fn(o, t)
+        if float(weights[i]) != 0.0:
+            total = total + float(weights[i]) * loss_fn(o, t)
     return total
 
 

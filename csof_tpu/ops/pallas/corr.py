@@ -1,12 +1,22 @@
 """Pallas kernel: local correlation volume.
 
-out[h, w, k] = <query[h, w, :], memory[h + s*dy, w + s*dx, :]> / sqrt(C)
+out[b, h, w, k] = <query[b, h, w, :], memory[b, h + s*dy, w + s*dx, :]> / sqrt(C)
 
 The jnp reference (csof_tpu.ops.correlation.local_correlation_volume) emits
 (2r+1)^2 dynamic-slices of the padded memory tensor — each a separate HBM
 read. Here query and the haloed memory block are loaded into VMEM ONCE and
 all (2r+1)^2 shifted products run on the VPU from VMEM (static slices), with
 the channel reduction feeding one output block.
+
+Grid-tiled + batched: the grid runs over (batch, row-tiles), so the kernel
+handles arbitrary batch sizes and large feature maps (Lib geometry, 384²)
+without exceeding VMEM. The padded memory tensor stays in HBM (`pl.ANY`) and
+each grid step DMAs its haloed row slab into a VMEM scratch buffer.
+
+The single-sample entry point carries a `jax.custom_batching.custom_vmap`
+rule that folds vmap into the kernel's batch grid axis instead of letting
+vmap auto-batch the pallas_call (auto-batching pallas-inside-vmap(scan) hung
+this environment's remote Mosaic compile service — see docs/BENCHMARKS.md).
 """
 
 from __future__ import annotations
@@ -20,49 +30,132 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _corr_kernel(q_ref, m_ref, o_ref, *, radius: int, stride: int, scale: float):
-    """Channel-major layout: q/m are (C, H, W[pad]) so the lane dimension is
-    the aligned W axis; output is (K^2, H, W) with the window index as an
-    untiled leading dim (a (H, W, 81) minor-dim layout makes the Mosaic
-    compiler blow up — 81 is not lane-aligned)."""
-    c, h, w = q_ref.shape
+def _corr_tile_kernel(
+    q_ref, m_hbm, o_ref, m_vmem, sem, *, radius: int, stride: int, scale: float,
+    tile_h: int, pad: int,
+):
+    """One (batch, row-tile) grid step.
+
+    q_ref:  (1, C, TH, W) VMEM block of the query
+    m_hbm:  (B, C, H+2p, W+2p) padded memory, resident in HBM
+    o_ref:  (1, K^2, TH, W) output block
+    m_vmem: (C, TH+2p, W+2p) scratch
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    c, th, w = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
     k = 2 * radius + 1
-    q = q_ref[:]
+    # DMA the haloed row slab for this tile: rows [i*TH, i*TH + TH + 2p)
+    dma = pltpu.make_async_copy(
+        m_hbm.at[b, :, pl.ds(i * tile_h, th + 2 * pad), :],
+        m_vmem,
+        sem,
+    )
+    dma.start()
+    dma.wait()
+    q = q_ref[0]
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             oy = (dy + radius) * stride
             ox = (dx + radius) * stride
-            m = m_ref[:, oy : oy + h, ox : ox + w]
+            m = m_vmem[:, oy : oy + th, ox : ox + w]
             kk = (dy + radius) * k + (dx + radius)
-            o_ref[kk] = jnp.sum(q * m, axis=0) * scale
+            o_ref[0, kk] = jnp.sum(q * m, axis=0) * scale
 
 
-def local_correlation_volume_pallas(
+def _pick_tile_h(h: int, w: int, c: int, k2: int, pad: int, budget_mb: float = 10.0):
+    """Largest row-tile whose q + m-scratch + out blocks fit the VMEM budget."""
+    for th in (h, 256, 128, 64, 32, 16, 8):
+        if th > h or h % th:
+            continue
+        bytes_needed = 4 * (
+            c * th * w  # q block
+            + c * (th + 2 * pad) * (w + 2 * pad)  # m scratch
+            + k2 * th * w  # out block
+        )
+        if bytes_needed <= budget_mb * 1024 * 1024:
+            return th
+    return 8
+
+
+def local_correlation_volume_pallas_batched(
     query: jnp.ndarray,
     memory: jnp.ndarray,
     radius: int = 4,
     stride: int = 1,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """query/memory: (H, W, C) -> (H, W, (2r+1)^2). Single-block kernel —
-    appropriate for the SegFlow skip levels (<= ~128x128x128 features)."""
-    h, w, c = query.shape
+    """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2)."""
+    b, h, w, c = query.shape
     pad = radius * stride
     k2 = (2 * radius + 1) ** 2
-    q_cm = jnp.moveaxis(query.astype(jnp.float32), -1, 0)  # (C, H, W)
-    m_cm = jnp.moveaxis(memory.astype(jnp.float32), -1, 0)
-    m_cm = jnp.pad(m_cm, ((0, 0), (pad, pad), (pad, pad)))
+    # channel-major: the lane dimension is the aligned W axis; K^2=81 on the
+    # minor axis makes Mosaic blow up (81 is not lane-aligned), so the window
+    # index is an untiled leading dim
+    q_cm = jnp.moveaxis(query.astype(jnp.float32), -1, 1)  # (B, C, H, W)
+    m_cm = jnp.moveaxis(memory.astype(jnp.float32), -1, 1)
+    m_cm = jnp.pad(m_cm, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
+    tile_h = _pick_tile_h(h, w, c, k2, pad)
     kernel = functools.partial(
-        _corr_kernel, radius=radius, stride=stride, scale=1.0 / math.sqrt(c)
+        _corr_tile_kernel,
+        radius=radius, stride=stride, scale=1.0 / math.sqrt(c),
+        tile_h=tile_h, pad=pad,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((k2, h, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, k2, h, w), jnp.float32),
+        grid=(b, h // tile_h),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, c, tile_h, w), lambda bb, ii: (bb, 0, ii, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # padded memory stays in HBM
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (1, k2, tile_h, w), lambda bb, ii: (bb, 0, ii, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, tile_h + 2 * pad, w + 2 * pad), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
         interpret=interpret,
     )(q_cm, m_cm)
-    return jnp.moveaxis(out, 0, -1)
+    return jnp.moveaxis(out, 1, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_corr_fn(radius: int, stride: int, interpret: bool):
+    """custom_vmap traces every positional argument, so the static kernel
+    parameters are closed over here (one cached wrapper per config)."""
+
+    @jax.custom_batching.custom_vmap
+    def corr(query, memory):
+        return local_correlation_volume_pallas_batched(
+            query[None], memory[None], radius, stride, interpret
+        )[0]
+
+    @corr.def_vmap
+    def _rule(axis_size, in_batched, query, memory):
+        qb, mb = in_batched
+        if not qb:
+            query = jnp.broadcast_to(query[None], (axis_size, *query.shape))
+        if not mb:
+            memory = jnp.broadcast_to(memory[None], (axis_size, *memory.shape))
+        out = local_correlation_volume_pallas_batched(
+            query, memory, radius, stride, interpret
+        )
+        return out, True
+
+    return corr
+
+
+def local_correlation_volume_pallas(
+    query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """query/memory: (H, W, C) -> (H, W, (2r+1)^2). Under jax.vmap this
+    dispatches to the batch-gridded kernel instead of letting vmap
+    auto-batch the pallas_call."""
+    return _make_corr_fn(int(radius), int(stride), bool(interpret))(query, memory)

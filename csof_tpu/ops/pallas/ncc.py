@@ -47,7 +47,7 @@ def _ncc_kernel(i_ref, j_ref, cc_ref, *, window: int, eps: float):
 
 
 def ncc_map_pallas(
-    pred: jnp.ndarray, target: jnp.ndarray, window: int = 9, eps: float = 1e-5,
+    pred: jnp.ndarray, target: jnp.ndarray, window: int = 9, eps: float = 1e-3,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """pred/target: (H, W) -> per-pixel cc map (H, W). Matches the interior
@@ -65,11 +65,12 @@ def ncc_map_pallas(
     )(pred.astype(jnp.float32), target.astype(jnp.float32))
 
 
-def ncc_loss_pallas(pred, target, window: int = 9, eps: float = 1e-5, interpret: bool = False):
+def ncc_loss_pallas(pred, target, window: int = 9, eps: float = 1e-3, interpret: bool = False):
     """1 - mean(cc) over (N, H, W, C) batches (same contract as
-    ops.losses.ncc_loss)."""
+    ops.losses.ncc_loss, incl. the reference's cc clamp to [0.001, 0.999],
+    ref: nnunet/lib/loss.py:68-70)."""
     n, h, w, c = pred.shape
     flat_p = pred.transpose(0, 3, 1, 2).reshape(n * c, h, w)
     flat_t = target.transpose(0, 3, 1, 2).reshape(n * c, h, w)
     cc = jax.vmap(lambda a, b: ncc_map_pallas(a, b, window, eps, interpret))(flat_p, flat_t)
-    return 1.0 - jnp.mean(cc)
+    return 1.0 - jnp.mean(jnp.clip(cc, 0.001, 0.999))

@@ -50,6 +50,23 @@ def test_lookup_correlation_center_match():
     np.testing.assert_allclose(np.asarray(center), np.asarray(expected), atol=1e-4)
 
 
+def test_lookup_onehot_matches_gather_reference():
+    """The MXU one-hot-matmul lookup must equal the gather implementation
+    (zero-padded bilinear window sampling) for arbitrary fractional coords,
+    including windows hanging off / fully outside the volume."""
+    from csof_tpu.ops.correlation import lookup_correlation_gather
+
+    rng = np.random.RandomState(3)
+    h = w = 6
+    corr = jnp.asarray(rng.randn(h, w, h, w).astype(np.float32))
+    pyr = correlation_pyramid(corr, 2)
+    # coords spanning in-range, fractional, far out-of-range
+    coords = jnp.asarray(rng.uniform(-8, 14, (h, w, 2)).astype(np.float32))
+    a = lookup_correlation(pyr, coords, radius=2)
+    b = lookup_correlation_gather(pyr, coords, radius=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_local_correlation_volume_shift_detection():
     rng = np.random.RandomState(1)
     # zero-mean features so self-correlation peaks sharply

@@ -20,6 +20,33 @@ def test_pallas_corr_matches_reference():
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_pallas_corr_batched_tiled_matches_reference():
+    """Grid-tiled batched kernel (DMA'd haloed row slabs) vs jnp reference,
+    with a tile smaller than H to exercise the halo path, and vmap dispatch
+    through the custom_vmap rule."""
+    import jax
+
+    from csof_tpu.ops.pallas import corr as pc
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.rand(3, 32, 16, 8).astype(np.float32))
+    m = jnp.asarray(rng.rand(3, 32, 16, 8).astype(np.float32))
+    ref = jax.vmap(lambda a, b: local_correlation_volume(a, b, radius=2, stride=1))(q, m)
+    # force small tiles so H=32 splits into slabs
+    orig = pc._pick_tile_h
+    pc._pick_tile_h = lambda *a, **k: 8
+    try:
+        out = pc.local_correlation_volume_pallas_batched(q, m, 2, 1, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        # vmap over the single-sample entry dispatches to the batched kernel
+        out_v = jax.vmap(
+            lambda a, b: pc.local_correlation_volume_pallas(a, b, 2, 1, True)
+        )(q, m)
+        np.testing.assert_allclose(np.asarray(out_v), np.asarray(ref), atol=1e-5)
+    finally:
+        pc._pick_tile_h = orig
+
+
 def test_pallas_ncc_matches_reference():
     rng = np.random.RandomState(1)
     a = jnp.asarray(rng.rand(2, 24, 24, 1).astype(np.float32))

@@ -51,17 +51,28 @@ def build(dtype="bfloat16", norm="instance", ds=True):
     return net, params, x, y
 
 
-def make_step(net, tx, ds=True):
+def make_step(net, tx, ds=True, loss_scales=None, loss_kind="dice_ce", barrier=False):
     import jax
 
     from csof_tpu.ops import losses as L
+
+    kinds = {
+        "dice_ce": L.dice_and_ce_loss,
+        "dice": lambda o, t: L.soft_dice_loss(o, t, batch_dice=True),
+        "ce": L.cross_entropy_loss,
+    }
+    scale_loss = kinds[loss_kind]
 
     def loss_fn(p, x, y):
         outs = net.apply(p, x)
         if not ds:
             outs = (outs,)
+        if loss_scales is not None:
+            outs = outs[:loss_scales]
+        if barrier:
+            outs = jax.lax.optimization_barrier(tuple(outs))
         targets = L.downsample_seg_for_ds(y, POOLS)[: len(outs)]
-        return L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+        return L.deep_supervision_loss(outs, targets, scale_loss)
 
     import optax
 
@@ -80,6 +91,9 @@ def time_variant(name, **kw):
 
     fwd_only = kw.pop("fwd_only", False)
     loss_only = kw.pop("loss_only", False)
+    loss_scales = kw.pop("loss_scales", None)
+    loss_kind = kw.pop("loss_kind", "dice_ce")
+    barrier = kw.pop("barrier", False)
     net, params, x, y = build(**kw)
     ds = kw.get("ds", True)
     tx = optax.chain(
@@ -87,7 +101,9 @@ def time_variant(name, **kw):
         optax.sgd(0.01, momentum=0.99, nesterov=True),
     )
     opt = tx.init(params)
-    step, loss_fn = make_step(net, tx, ds=ds)
+    step, loss_fn = make_step(
+        net, tx, ds=ds, loss_scales=loss_scales, loss_kind=loss_kind, barrier=barrier
+    )
 
     import jax.numpy as jnp
 
@@ -163,6 +179,15 @@ VARIANTS = {
     "groupnorm": dict(norm="group"),
     "nods": dict(ds=False),
     "f32": dict(dtype="float32"),
+    # DS-cost isolation: heads in the model but loss on fewer scales
+    "ds_fullloss": dict(loss_scales=1),
+    "ds_2scales": dict(loss_scales=2),
+    "ds_3scales": dict(loss_scales=3),
+    "ds_4scales": dict(loss_scales=4),
+    "ds_5scales": dict(loss_scales=5),
+    "dice_only": dict(loss_kind="dice"),
+    "ce_only": dict(loss_kind="ce"),
+    "base_barrier": dict(barrier=True),
 }
 
 
