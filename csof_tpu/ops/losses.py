@@ -189,6 +189,26 @@ def deep_supervision_loss(outputs: Sequence[jnp.ndarray], targets: Sequence[jnp.
     return total
 
 
+def fence_outputs(outputs):
+    """optimization_barrier over a model's output tuple, applied right after
+    `model.apply` on the training hot path.
+
+    History: round-2 measurements first suggested the barrier (and its
+    position) controlled a 124-vs-183 ms/iter step-time gap at Task002-2d
+    geometry. Deeper digging (tools/bench_epoch2d.py; byte-identical jaxprs
+    compiled to binaries 45% apart) showed the real cause is
+    NONDETERMINISTIC backend compilation — every fresh compile is a
+    scheduling-lottery draw, pinned afterwards by the compile cache. See
+    csof_tpu/utils/autotune.py, which turns that into a knob. The fence is
+    kept: it is an identity (its gradient is a barrier too), it keeps
+    zero-weight DS heads alive, and the best draws observed were fenced
+    programs."""
+    single = not isinstance(outputs, (tuple, list))
+    if single:
+        return jax.lax.optimization_barrier((outputs,))[0]
+    return jax.lax.optimization_barrier(tuple(outputs))
+
+
 def downsample_seg_for_ds(
     seg: jnp.ndarray, pool_kernel_sizes: Sequence[Sequence[int]]
 ) -> list[jnp.ndarray]:

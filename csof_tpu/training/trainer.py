@@ -22,6 +22,7 @@ a `data`-axis sharding; everything inside is pure.
 from __future__ import annotations
 
 import json
+import os
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -87,6 +88,7 @@ def make_seg_loss(config: ExperimentConfig, model: GenericUNet):
         outs = model.apply(params, batch["data"])
         if not isinstance(outs, tuple):
             outs = (outs,)
+        outs = L.fence_outputs(outs)  # v5e scheduling fence (see its docstring)
         targets = L.downsample_seg_for_ds(batch["seg"], pool)[: len(outs)]
         loss = L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
         probs = jax.nn.softmax(outs[0], axis=-1)
@@ -343,28 +345,45 @@ class Trainer:
         )
         base_key = jax.random.PRNGKey(self.config.seed + 17)
 
-        def train_step(state, batch):
-            if augment_2d:
-                from csof_tpu.data.augment import augment_batch_2d
+        def make_train_step(draw: int):
+            def train_step(state, batch):
+                if augment_2d:
+                    from csof_tpu.data.augment import augment_batch_2d
 
-                key = jax.random.fold_in(base_key, state.step)
-                data, seg = augment_batch_2d(key, batch["data"], batch["seg"])
-                batch = {**batch, "data": data, "seg": seg}
-            elif augment_vid:
-                from csof_tpu.data.augment import augment_video
+                    key = jax.random.fold_in(base_key, state.step)
+                    data, seg = augment_batch_2d(key, batch["data"], batch["seg"])
+                    batch = {**batch, "data": data, "seg": seg}
+                elif augment_vid:
+                    from csof_tpu.data.augment import augment_video
 
-                key = jax.random.fold_in(base_key, state.step)
-                keys = jax.random.split(key, batch["video"].shape[0])
-                video, seg = jax.vmap(augment_video)(keys, batch["video"], batch["seg"])
-                # unlabeled frames must stay fully -1 (spatial warp zero-padding
-                # would otherwise inject fake background labels)
-                seg = jnp.where(batch["labeled_mask"][:, :, None, None] > 0, seg, -1)
-                batch = {**batch, "video": video, "seg": seg}
-            (loss, aux), grads = jax.value_and_grad(lambda p: loss_fn(p, batch), has_aux=True)(
-                state.params
-            )
-            state = state.apply_gradients(grads=grads)
-            return state, loss, aux
+                    key = jax.random.fold_in(base_key, state.step)
+                    keys = jax.random.split(key, batch["video"].shape[0])
+                    video, seg = jax.vmap(augment_video)(keys, batch["video"], batch["seg"])
+                    # unlabeled frames must stay fully -1 (spatial warp zero-padding
+                    # would otherwise inject fake background labels)
+                    seg = jnp.where(batch["labeled_mask"][:, :, None, None] > 0, seg, -1)
+                    batch = {**batch, "video": video, "seg": seg}
+
+                def perturbed(p):
+                    loss, aux = loss_fn(p, batch)
+                    if draw > 0:
+                        # compile-draw jiggle (csof_tpu/utils/autotune.py):
+                        # runtime-exact zero, but distinct HLO bytes per draw
+                        # so the backend compiles an independent binary
+                        from csof_tpu.utils.autotune import jiggle_term
+
+                        loss = loss + jiggle_term(
+                            state.step.astype(jnp.float32) * 0.0, draw
+                        )
+                    return loss, aux
+
+                (loss, aux), grads = jax.value_and_grad(perturbed, has_aux=True)(
+                    state.params
+                )
+                state = state.apply_gradients(grads=grads)
+                return state, loss, aux
+
+            return train_step
 
         def val_step(state, batch):
             loss, aux = loss_fn(state.params, batch)
@@ -372,12 +391,55 @@ class Trainer:
 
         batch_shardings = jax.tree.map(lambda _: data, example_batch)
         self._train_step = jax.jit(
-            train_step,
+            make_train_step(0),
             in_shardings=(rep, batch_shardings),
             donate_argnums=0,
         )
         self._val_step = jax.jit(val_step, in_shardings=(rep, batch_shardings))
+        self._make_train_step = make_train_step
+        self._step_shardings = (rep, batch_shardings)
+        self._autotune_pending = max(
+            1, int(os.environ.get("CSOF_AUTOTUNE_DRAWS", "1"))
+        )
         return self
+
+    def _autotune(self, batch: dict):
+        """Compile CSOF_AUTOTUNE_DRAWS numerically-identical train-step
+        binaries, time each on this batch, keep the fastest (the backend
+        compile is a scheduling lottery on this toolchain — see
+        csof_tpu/utils/autotune.py). Training state is snapshotted and
+        restored, so the timed steps do not advance training."""
+        import time as _time
+
+        draws, self._autotune_pending = self._autotune_pending, 1
+        snapshot = jax.device_get(self.state)
+        rep, batch_shardings = self._step_shardings
+        best = None
+        for k in range(draws):
+            step = (
+                self._train_step
+                if k == 0
+                else jax.jit(
+                    self._make_train_step(k),
+                    in_shardings=(rep, batch_shardings),
+                    donate_argnums=0,
+                )
+            )
+            state = jax.device_put(jax.tree.map(jnp.asarray, snapshot), rep)
+            state, loss, _ = step(state, batch)  # compile + warm
+            float(loss)
+            reps = 5
+            t0 = _time.perf_counter()
+            for _ in range(reps):
+                state, loss, _ = step(state, batch)
+            float(loss)
+            dt = (_time.perf_counter() - t0) / reps
+            print(f"autotune draw {k}: {dt * 1e3:.1f} ms/step", flush=True)
+            if best is None or dt < best[1]:
+                best = (step, dt, k)
+        print(f"autotune picked draw {best[2]} ({best[1] * 1e3:.1f} ms/step)", flush=True)
+        self._train_step = best[0]
+        self.state = jax.device_put(jax.tree.map(jnp.asarray, snapshot), rep)
 
     # -- loop ---------------------------------------------------------------
 
@@ -388,6 +450,8 @@ class Trainer:
     def run_iteration(self, batch: dict, train: bool = True):
         batch = jax.tree.map(jnp.asarray, batch)
         if train:
+            if getattr(self, "_autotune_pending", 1) > 1:
+                self._autotune(batch)
             self.state, loss, aux = self._train_step(self.state, batch)
         else:
             loss, aux = self._val_step(self.state, batch)

@@ -51,7 +51,7 @@ def build(dtype="bfloat16", norm="instance", ds=True):
     return net, params, x, y
 
 
-def make_step(net, tx, ds=True, loss_scales=None, loss_kind="dice_ce", barrier=False):
+def make_step(net, tx, ds=True, loss_scales=None, loss_kind="dice_ce", barrier=True):
     import jax
 
     from csof_tpu.ops import losses as L
@@ -63,16 +63,21 @@ def make_step(net, tx, ds=True, loss_scales=None, loss_kind="dice_ce", barrier=F
     }
     scale_loss = kinds[loss_kind]
 
-    def loss_fn(p, x, y):
+    def loss_fn(p, x, y, jiggle=None, draw=0):
         outs = net.apply(p, x)
         if not ds:
             outs = (outs,)
         if loss_scales is not None:
             outs = outs[:loss_scales]
         if barrier:
-            outs = jax.lax.optimization_barrier(tuple(outs))
+            outs = L.fence_outputs(outs)
         targets = L.downsample_seg_for_ds(y, POOLS)[: len(outs)]
-        return L.deep_supervision_loss(outs, targets, scale_loss)
+        loss = L.deep_supervision_loss(outs, targets, scale_loss)
+        if jiggle is not None:
+            from csof_tpu.utils.autotune import jiggle_term
+
+            loss = loss + jiggle_term(jiggle, draw)
+        return loss
 
     import optax
 
@@ -93,7 +98,7 @@ def time_variant(name, **kw):
     loss_only = kw.pop("loss_only", False)
     loss_scales = kw.pop("loss_scales", None)
     loss_kind = kw.pop("loss_kind", "dice_ce")
-    barrier = kw.pop("barrier", False)
+    barrier = kw.pop("barrier", True)
     net, params, x, y = build(**kw)
     ds = kw.get("ds", True)
     tx = optax.chain(
@@ -188,10 +193,58 @@ VARIANTS = {
     "dice_only": dict(loss_kind="dice"),
     "ce_only": dict(loss_kind="ce"),
     "base_barrier": dict(barrier=True),
+    "nobarrier": dict(barrier=False),
 }
+
+
+def autotune(draws=4):
+    """Exploit the backend compile lottery (see csof_tpu/utils/autotune.py):
+    compile `draws` numerically-identical variants of the base train step,
+    time each, report the distribution and the pinned best."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from csof_tpu.utils.autotune import autotune_step, jiggle_term
+
+    net, params, x, y = build()
+    tx = optax.chain(
+        optax.clip_by_global_norm(12.0),
+        optax.sgd(0.01, momentum=0.99, nesterov=True),
+    )
+    opt = tx.init(params)
+    _, loss_fn = make_step(net, tx)
+
+    def make_drawn_step(k):
+        @jax.jit
+        def step(params, opt, x, y, jiggle):
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, x, y, jiggle=jiggle, draw=k)
+            )(params)
+            updates, opt2 = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt2, loss
+
+        return step
+
+    zero = jnp.float32(0.0)
+    step, records = autotune_step(
+        make_drawn_step, lambda: (params, opt, x, y, zero), draws=draws, reps=10,
+        sync=lambda out: float(np.asarray(out[2])),
+    )
+    best = min(r["sec_per_iter"] for r in records)
+    print(json.dumps({
+        "variant": "autotuned_base",
+        "sec_per_iter": round(best, 4),
+        "epoch_sec": round(best * ITERS_PER_EPOCH, 1),
+        "speedup_vs_a100": round(REF_EPOCH_A100 / (best * ITERS_PER_EPOCH), 3),
+        "draws_ms": [round(r["sec_per_iter"] * 1e3, 1) for r in records],
+    }), flush=True)
 
 
 if __name__ == "__main__":
     names = sys.argv[1:] or ["base", "fwd", "lossonly", "nods"]
     for n in names:
-        time_variant(n, **VARIANTS[n])
+        if n.startswith("autotune"):
+            autotune(int(n.split(":")[1]) if ":" in n else 4)
+        else:
+            time_variant(n, **VARIANTS[n])

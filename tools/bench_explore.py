@@ -41,13 +41,28 @@ def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5):
     return fps
 
 
+SWEEPS = {
+    "default": [
+        ("base_b4", {}, dict(batch=4)),
+        ("base_b16", {}, dict(batch=16)),
+        ("f32_b4", {"dtype": "float32"}, dict(batch=4)),
+        ("no_costvol_b4", {"use_cost_volume": False}, dict(batch=4)),
+        ("no_gru_b4", {"use_gru": False}, dict(batch=4)),
+    ],
+    # B>=8 HBM-regression isolation (docs/BENCHMARKS.md batch-scaling row)
+    "batch": [
+        ("base_b2", {}, dict(batch=2)),
+        ("base_b4", {}, dict(batch=4)),
+        ("base_b8", {}, dict(batch=8)),
+        ("base_b16", {}, dict(batch=16)),
+        ("no_costvol_b8", {"use_cost_volume": False}, dict(batch=8)),
+        ("no_gru_b8", {"use_gru": False}, dict(batch=8)),
+    ],
+}
+
 if __name__ == "__main__":
-    base = {}
-    time_config("base_b4", base, batch=4)
-    time_config("base_b16", base, batch=16)
-    time_config("f32_b4", {"dtype": "float32"}, batch=4)
-    time_config("no_costvol_b4", {"use_cost_volume": False}, batch=4)
-    time_config("no_gru_b4", {"use_gru": False}, batch=4)
+    for name, cfg_kwargs, kw in SWEEPS[sys.argv[1] if len(sys.argv) > 1 else "default"]:
+        time_config(name, cfg_kwargs, **kw)
 
 
 def corr_impl_sweep():
