@@ -444,6 +444,204 @@ def throughput_entry(argv=None):
     bench.main()
 
 
+def determine_postprocessing_entry(argv=None):
+    """Decide keep-largest-CC postprocessing from validation predictions and
+    persist it beside the model (ref: nnUNet_determine_postprocessing,
+    nnunet/postprocessing/consolidate_postprocessing_simple.py:22)."""
+    from csof_tpu.evaluation.postprocessing import determine_postprocessing
+    from csof_tpu.utils.nifti import load_nifti
+
+    p = argparse.ArgumentParser("csof_determine_postprocessing")
+    p.add_argument("-p", "--pred", required=True, help="validation predictions (*.nii.gz)")
+    p.add_argument("-r", "--ref", required=True, help="GT label folder")
+    p.add_argument("-l", "--labels", type=int, nargs="+", required=True)
+    p.add_argument("-o", "--output", default=None,
+                   help="postprocessing.json path (default: <pred>/postprocessing.json)")
+    a = p.parse_args(argv)
+    pred_dir = Path(a.pred)
+    pairs = []
+    for f in sorted(pred_dir.glob("*.nii.gz")):
+        r = Path(a.ref) / f.name
+        if r.exists():
+            pairs.append((load_nifti(f).data_czyx, load_nifti(r).data_czyx))
+    if not pairs:
+        p.error(f"no matching pairs between {a.pred} and {a.ref}")
+    out = a.output or (pred_dir / "postprocessing.json")
+    res = determine_postprocessing(pairs, a.labels, output_file=out)
+    print(json.dumps(res, indent=2))
+
+
+def export_model_entry(argv=None):
+    """Package a trained model output folder (checkpoint triad, config/plans
+    sidecars, postprocessing decision) into a portable zip
+    (ref: nnUNet_export_model_to_zip, inference/pretrained_models/
+    collect_pretrained_models.py:export_entry_point)."""
+    import zipfile
+
+    p = argparse.ArgumentParser("csof_export_model_to_zip")
+    p.add_argument("-m", "--model", required=True, help="trained folder (e.g. results/fold_0)")
+    p.add_argument("-o", "--output", required=True, help="output .zip")
+    a = p.parse_args(argv)
+    model = Path(a.model)
+    if not model.is_dir():
+        p.error(f"{model} is not a directory")
+    keep = {".msgpack", ".json", ".yaml", ".pkl"}
+    with zipfile.ZipFile(a.output, "w", zipfile.ZIP_DEFLATED) as z:
+        n = 0
+        for f in sorted(model.rglob("*")):
+            if f.is_file() and f.suffix in keep:
+                z.write(f, f.relative_to(model))
+                n += 1
+    if not n:
+        p.error(f"nothing exportable in {model}")
+    print(f"exported {n} files -> {a.output}")
+
+
+def install_model_entry(argv=None):
+    """Unpack a model zip into a results folder
+    (ref: nnUNet_install_pretrained_model_from_zip,
+    download_pretrained_model.py:install_from_zip_entry_point; network
+    downloads are not supported in this zero-egress build — install from a
+    local zip instead)."""
+    import zipfile
+
+    p = argparse.ArgumentParser("csof_install_model_from_zip")
+    p.add_argument("zip", help="model zip produced by csof_export_model_to_zip")
+    p.add_argument("-o", "--output", required=True, help="target model folder")
+    a = p.parse_args(argv)
+    out = Path(a.output)
+    out.mkdir(parents=True, exist_ok=True)
+    with zipfile.ZipFile(a.zip) as z:
+        for name in z.namelist():
+            dest = (out / name).resolve()
+            if not str(dest).startswith(str(out.resolve())):
+                p.error(f"refusing unsafe zip member path {name!r}")
+        z.extractall(out)
+        n = len(z.namelist())
+    print(f"installed {n} files -> {out}")
+
+
+def print_models_entry(argv=None):
+    """List locally installed/trained models under a results root
+    (ref: nnUNet_print_available_pretrained_models — the reference prints a
+    download registry; this build is zero-egress, so the registry is the
+    local results tree)."""
+    from csof_tpu.config.paths import default_paths
+
+    p = argparse.ArgumentParser("csof_print_available_models")
+    p.add_argument("-r", "--root", default=None, help="results root (default: CSOF results dir)")
+    a = p.parse_args(argv)
+    root = Path(a.root) if a.root else default_paths().results
+    found = sorted({f.parent for f in Path(root).rglob("model_*.msgpack")})
+    if not found:
+        print(f"no trained models under {root}")
+    for folder in found:
+        cfg = folder / "config.yaml"
+        kind = ""
+        if cfg.exists():
+            for line in cfg.read_text().splitlines():
+                if line.startswith("model:"):
+                    kind = line.split(":", 1)[1].strip()
+        print(f"{folder}  model={kind}")
+
+
+def change_model_entry(argv=None):
+    """Rewrite the `model:` kind in a trained folder's config.yaml sidecar
+    (ref: nnUNet_change_trainer_class, inference/change_trainer.py — the
+    reference edits the trainer-class name pickled into model.pkl; here the
+    model kind lives in the YAML sidecar)."""
+    import yaml
+
+    p = argparse.ArgumentParser("csof_change_model")
+    p.add_argument("-m", "--model", required=True, help="trained folder with config.yaml")
+    p.add_argument("-k", "--kind", required=True,
+                   help="new model kind (unet2d/unet3d/segflow/raft/voxelmorph/...)")
+    a = p.parse_args(argv)
+    cfg_path = Path(a.model) / "config.yaml"
+    if not cfg_path.exists():
+        p.error(f"{cfg_path} not found")
+    cfg = yaml.safe_load(cfg_path.read_text())
+    old = cfg.get("model")
+    cfg["model"] = a.kind
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    print(f"{cfg_path}: model {old} -> {a.kind}")
+
+
+def plot_task_pngs_entry(argv=None):
+    """Overlay PNGs (image + label) for every case of a raw task folder
+    (ref: nnUNet_plot_task_pngs, nnunet/utilities/overlay_plots.py:
+    entry_point_generate_overlay)."""
+    from csof_tpu.utils.nifti import load_nifti
+    from csof_tpu.utils.visualization import seg_overlay
+
+    p = argparse.ArgumentParser("csof_plot_task_pngs")
+    p.add_argument("-t", "--task", required=True, help="raw task folder (imagesTr/ labelsTr/)")
+    p.add_argument("-o", "--output", default=None, help="default: <task>/overlays")
+    a = p.parse_args(argv)
+    task = Path(a.task)
+    out = Path(a.output) if a.output else task / "overlays"
+    out.mkdir(parents=True, exist_ok=True)
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = 0
+    for lab in sorted((task / "labelsTr").glob("*.nii.gz")):
+        case = lab.name.replace(".nii.gz", "")
+        img_f = task / "imagesTr" / f"{case}_0000.nii.gz"
+        if not img_f.exists():
+            continue
+        img = load_nifti(img_f).data_czyx
+        seg = load_nifti(lab).data_czyx
+        z = int(np.argmax((seg > 0).sum(axis=(1, 2))))  # most-foreground slice
+        sl = img[z].astype(np.float32)
+        lo, hi = np.percentile(sl, (1, 99))
+        sl = np.clip((sl - lo) / max(hi - lo, 1e-6), 0, 1)
+        plt.imsave(out / f"{case}.png", seg_overlay(sl, seg[z]))
+        n += 1
+    print(f"wrote {n} overlays -> {out}")
+
+
+def convert_decathlon_entry(argv=None):
+    """Convert a Medical-Segmentation-Decathlon task (4D multi-modality
+    images) to the raw layout (one 3D file per modality, `_0000` suffixes)
+    (ref: nnUNet_convert_decathlon_task, experiment_planning/
+    nnUNet_convert_decathlon_task.py + utils.py:split_4d)."""
+    from csof_tpu.utils.nifti import load_nifti, save_nifti
+
+    p = argparse.ArgumentParser("csof_convert_decathlon_task")
+    p.add_argument("-i", "--input", required=True, help="decathlon task folder")
+    p.add_argument("-o", "--output", required=True)
+    a = p.parse_args(argv)
+    src, out = Path(a.input), Path(a.output)
+    images_tr = out / "imagesTr"
+    labels_tr = out / "labelsTr"
+    images_tr.mkdir(parents=True, exist_ok=True)
+    labels_tr.mkdir(parents=True, exist_ok=True)
+    cases = []
+    for f in sorted((src / "imagesTr").glob("*.nii.gz")):
+        if f.name.startswith("."):
+            continue  # decathlon tars ship ._ AppleDouble files
+        case = f.name.replace(".nii.gz", "")
+        img = load_nifti(f)
+        vol = img.data_czyx  # (z,y,x), or (t,z,y,x) with t = modalities
+        mods = vol[None] if vol.ndim == 3 else vol
+        for m in range(mods.shape[0]):
+            save_nifti(mods[m], images_tr / f"{case}_{m:04d}.nii.gz", affine=img.affine)
+        lab = src / "labelsTr" / f.name
+        if lab.exists():
+            li = load_nifti(lab)
+            save_nifti(li.data_czyx, labels_tr / f.name, affine=li.affine, dtype=np.uint8)
+        cases.append(case)
+    dataset = json.loads((src / "dataset.json").read_text()) if (src / "dataset.json").exists() else {}
+    dataset["training"] = [
+        {"image": f"./imagesTr/{c}.nii.gz", "label": f"./labelsTr/{c}.nii.gz"} for c in cases
+    ]
+    (out / "dataset.json").write_text(json.dumps(dataset, indent=2))
+    print(f"converted {len(cases)} cases -> {out}")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "--help"
     dispatch = {
@@ -458,6 +656,14 @@ if __name__ == "__main__":
         "strain": strain_entry,
         "jacobian": jacobian_entry,
         "throughput": throughput_entry,
+        "convert_mnms": convert_mnms_entry,
+        "convert_decathlon": convert_decathlon_entry,
+        "determine_postprocessing": determine_postprocessing_entry,
+        "export_model_to_zip": export_model_entry,
+        "install_model_from_zip": install_model_entry,
+        "print_available_models": print_models_entry,
+        "change_model": change_model_entry,
+        "plot_task_pngs": plot_task_pngs_entry,
     }
     if cmd in dispatch:
         dispatch[cmd](sys.argv[2:])

@@ -82,3 +82,48 @@ def test_flow_tree_analysis_cli(workspace, tmp_path):
     assert "jacobian" in report["patient001"]
     assert "LV" in report["patient001"]["jacobian"]
     assert (root / "analysis.csv").exists()
+
+
+def test_model_zoo_and_utility_clis(workspace, tmp_path):
+    """The thin-wrapper console scripts: determine_postprocessing,
+    export/install model zip, print models, change model kind, task overlay
+    PNGs, decathlon conversion (ref: setup.py:29-53 console_scripts)."""
+    task = workspace / "task"
+    fold = workspace / "results" / "fold_0"
+    pred_out = workspace / "preds"
+    assert fold.exists() and pred_out.exists()  # runs after test_full_cycle
+
+    # determine_postprocessing on the validation predictions
+    pp_json = tmp_path / "postprocessing.json"
+    cli.determine_postprocessing_entry([
+        "-p", str(pred_out), "-r", str(task / "labelsTr"), "-l", "1", "2", "3",
+        "-o", str(pp_json),
+    ])
+    decision = json.loads(pp_json.read_text())
+    assert "for_which_classes" in decision
+
+    # export -> install roundtrip preserves the checkpoint + sidecars
+    zip_path = tmp_path / "model.zip"
+    cli.export_model_entry(["-m", str(fold), "-o", str(zip_path)])
+    installed = tmp_path / "installed"
+    cli.install_model_entry([str(zip_path), "-o", str(installed)])
+    assert (installed / "model_final_checkpoint.msgpack").exists()
+    assert (installed / "config.yaml").exists()
+
+    # print_available_models sees the installed model
+    cli.print_models_entry(["-r", str(tmp_path)])
+
+    # change_model rewrites the sidecar kind
+    cli.change_model_entry(["-m", str(installed), "-k", "unet2d"])
+    assert "unet2d" in (installed / "config.yaml").read_text()
+
+    # overlay PNGs for the raw task
+    overlays = tmp_path / "overlays"
+    cli.plot_task_pngs_entry(["-t", str(task), "-o", str(overlays)])
+    assert list(overlays.glob("*.png"))
+
+    # decathlon conversion: our raw task doubles as a 3D decathlon-style one
+    dec_out = tmp_path / "decathlon"
+    cli.convert_decathlon_entry(["-i", str(task), "-o", str(dec_out)])
+    assert list((dec_out / "imagesTr").glob("*_0000.nii.gz"))
+    assert (dec_out / "dataset.json").exists()
