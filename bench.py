@@ -43,37 +43,15 @@ def _ref_gpu_fps() -> float:
         return REF_GPU_FPS
 
 
-def _pick_corr_impl() -> str:
-    """Prefer the Pallas correlation kernel (+18% end-to-end on v5e) but only
-    if it compiles within a budget — on a cold remote-compile cache the first
-    Mosaic build of the full model can take tens of minutes, so probe a
-    single kernel in a subprocess first and fall back to the jnp path."""
-    import os
-    import subprocess
-    import sys
-
-    if os.environ.get("CSOF_CORR_IMPL"):
-        return os.environ["CSOF_CORR_IMPL"]
-    probe = (
-        "import jax, jax.numpy as jnp;"
-        "from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas as k;"
-        "q=jnp.zeros((128,128,32));"
-        "jax.block_until_ready(jax.jit(lambda a,b: k(a,b,4,2))(q,q))"
-    )
-    try:
-        subprocess.run(
-            [sys.executable, "-c", probe], timeout=240, check=True,
-            capture_output=True, cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        return "pallas"
-    except Exception:
-        return "jnp"
-
-
 def main():
     import os
 
-    os.environ.setdefault("CSOF_CORR_IMPL", _pick_corr_impl())
+    # The grid-tiled batched Pallas correlation kernel (custom_vmap folds
+    # the batch into the kernel grid) compiles reliably in-model since
+    # round 2 — the round-1 subprocess probe guarding a pathological
+    # pallas-in-vmap(scan) Mosaic hang is gone. Override with
+    # CSOF_CORR_IMPL=jnp to fall back.
+    os.environ.setdefault("CSOF_CORR_IMPL", "pallas")
 
     import jax
     import jax.numpy as jnp
@@ -85,8 +63,10 @@ def main():
     model = SegFlow(cfg=cfg, num_classes=4)
 
     # ACDC-like inference geometry: batch of depth slices x cine frames at
-    # the 128^2 heart ROI (ref: video.yaml crop sizes; SegFlowGaussian.py:121-135)
-    batch, t, hw = 4, 12, 128
+    # the 128^2 heart ROI (ref: video.yaml crop sizes; SegFlowGaussian.py:121-135).
+    # B=8 is the serving sweet spot with the batched Pallas corr kernel
+    # (534 fps vs 457 at B=4; docs/BENCHMARKS.md batch-scaling table)
+    batch, t, hw = 8, 12, 128
     rng = np.random.RandomState(0)
     videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
 

@@ -30,24 +30,32 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _corr_tile_kernel(
     q_ref, m_hbm, o_ref, m_vmem, sem, *, radius: int, stride: int, scale: float,
-    tile_h: int, pad: int,
+    tile_h: int, slab: int,
 ):
     """One (batch, row-tile) grid step.
 
     q_ref:  (1, C, TH, W) VMEM block of the query
-    m_hbm:  (B, C, H+2p, W+2p) padded memory, resident in HBM
+    m_hbm:  (B, C, Hpad, Wpad) padded memory resident in HBM — Wpad is
+            lane-aligned (128) and Hpad covers every slab, because Mosaic
+            requires DMA slices to be tiling-aligned on the minor dims
+            (a (…, 40) lane slice is rejected: "must be aligned to (128)")
     o_ref:  (1, K^2, TH, W) output block
-    m_vmem: (C, TH+2p, W+2p) scratch
+    m_vmem: (C, slab, Wpad) scratch; slab = round_up(TH + 2*pad, 8)
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
-    c, th, w = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
+    th, w = q_ref.shape[2], q_ref.shape[3]
     k = 2 * radius + 1
-    # DMA the haloed row slab for this tile: rows [i*TH, i*TH + TH + 2p)
+    # DMA the haloed row slab for this tile: rows [i*TH, i*TH + slab);
+    # full (aligned) lane width, sublane-aligned row count
     dma = pltpu.make_async_copy(
-        m_hbm.at[b, :, pl.ds(i * tile_h, th + 2 * pad), :],
+        m_hbm.at[b, :, pl.ds(i * tile_h, slab), :],
         m_vmem,
         sem,
     )
@@ -70,7 +78,7 @@ def _pick_tile_h(h: int, w: int, c: int, k2: int, pad: int, budget_mb: float = 1
             continue
         bytes_needed = 4 * (
             c * th * w  # q block
-            + c * (th + 2 * pad) * (w + 2 * pad)  # m scratch
+            + c * _round_up(th + 2 * pad, 8) * _round_up(w + 2 * pad, 128)  # m scratch
             + k2 * th * w  # out block
         )
         if bytes_needed <= budget_mb * 1024 * 1024:
@@ -94,12 +102,20 @@ def local_correlation_volume_pallas_batched(
     # index is an untiled leading dim
     q_cm = jnp.moveaxis(query.astype(jnp.float32), -1, 1)  # (B, C, H, W)
     m_cm = jnp.moveaxis(memory.astype(jnp.float32), -1, 1)
-    m_cm = jnp.pad(m_cm, ((0, 0), (0, 0), (pad, pad), (pad, pad)))
     tile_h = _pick_tile_h(h, w, c, k2, pad)
+    # DMA-alignment padding (see _corr_tile_kernel): lane axis to a 128
+    # multiple, rows so that every slab [i*TH, i*TH + slab) is in bounds
+    slab = _round_up(tile_h + 2 * pad, 8)
+    wpad = _round_up(w + 2 * pad, 128)
+    rows = (h // tile_h - 1) * tile_h + slab
+    m_cm = jnp.pad(
+        m_cm,
+        ((0, 0), (0, 0), (pad, max(rows - h - pad, pad)), (pad, wpad - w - pad)),
+    )
     kernel = functools.partial(
         _corr_tile_kernel,
         radius=radius, stride=stride, scale=1.0 / math.sqrt(c),
-        tile_h=tile_h, pad=pad,
+        tile_h=tile_h, slab=slab,
     )
     out = pl.pallas_call(
         kernel,
@@ -117,7 +133,7 @@ def local_correlation_volume_pallas_batched(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, tile_h + 2 * pad, w + 2 * pad), jnp.float32),
+            pltpu.VMEM((c, slab, wpad), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
