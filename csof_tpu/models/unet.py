@@ -42,6 +42,12 @@ class GenericUNet(nn.Module):
     norm: str = "instance"
     deep_supervision: bool = True
     dtype: jnp.dtype = jnp.float32
+    #: rematerialize conv-stack activations in the backward pass. Required
+    #: for 3d_fullres training geometry on one v5e: the stored-activation
+    #: footprint of the (80,192,160)/batch-2 grad program is 62 GB vs
+    #: 15.75 GB HBM (measured OOM, tools/bench_epoch.py); remat trades
+    #: ~1/3 extra conv FLOPs for block-boundary-only activation storage.
+    remat: bool = False
 
     def features_at(self, level: int) -> int:
         ndim = len(self.conv_kernel_sizes[0])
@@ -53,11 +59,12 @@ class GenericUNet(nn.Module):
         """x: (N, *spatial, C_in) -> logits (N, *spatial, num_classes) or a
         tuple of deep-supervision logits, full resolution first."""
         num_pool = len(self.pool_kernel_sizes)
+        Stacked = nn.remat(StackedConvs) if self.remat else StackedConvs
         skips = []
         # encoder: levels 0..num_pool-1 at stride 1 relative to their input,
         # downsampling via the first conv of the *next* stage
         for d in range(num_pool):
-            x = StackedConvs(
+            x = Stacked(
                 self.features_at(d),
                 self.conv_per_stage,
                 self.conv_kernel_sizes[d],
@@ -69,7 +76,7 @@ class GenericUNet(nn.Module):
         # bottleneck (ref: generic_UNet.py:290-305): downsample, then
         # conv_per_stage-1 convs at one feature level + 1 conv at next
         bottleneck_feats = self.features_at(num_pool)
-        x = StackedConvs(
+        x = Stacked(
             bottleneck_feats,
             self.conv_per_stage,
             self.conv_kernel_sizes[num_pool],
@@ -96,7 +103,7 @@ class GenericUNet(nn.Module):
             # (ref: generic_UNet.py:346), i.e. level L uses kernels[L+1] — for
             # anisotropic plans the full-res decoder stage uses the 3x3x3
             # kernel, NOT the (1,3,3) of encoder level 0
-            x = StackedConvs(
+            x = Stacked(
                 self.features_at(level),
                 self.conv_per_stage,
                 self.conv_kernel_sizes[level + 1],
@@ -123,10 +130,19 @@ def unet_from_plans(
     stage: int | None = None,
     deep_supervision: bool = True,
     dtype=jnp.float32,
+    remat: bool | None = None,
 ) -> GenericUNet:
     """Build the network exactly as the plans prescribe
-    (ref: nnUNetTrainerV2.initialize_network, nnUNetTrainerV2.py:136-170)."""
+    (ref: nnUNetTrainerV2.initialize_network, nnUNetTrainerV2.py:136-170).
+
+    remat=None auto-enables rematerialization for 3D plans: full-res 3D
+    training patches OOM the v5e's 15.75 GB HBM without it (see
+    GenericUNet.remat), while 2D geometries fit comfortably. Param trees are
+    identical either way (nn.remat is a lifted transform), so checkpoints
+    transfer between settings."""
     sp: StagePlans = plans.stage(stage) if stage is not None else plans.fullres_stage()
+    if remat is None:
+        remat = len(sp.conv_kernel_sizes[0]) == 3
     return GenericUNet(
         num_classes=plans.num_classes_with_background,
         base_num_features=plans.base_num_features,
@@ -135,4 +151,5 @@ def unet_from_plans(
         conv_per_stage=plans.conv_per_stage,
         deep_supervision=deep_supervision,
         dtype=dtype,
+        remat=remat,
     )

@@ -39,6 +39,7 @@ def main(dtype="bfloat16", batch=2):
         num_classes=3, base_num_features=32, pool_kernel_sizes=pools,
         conv_kernel_sizes=kernels, deep_supervision=True,
         dtype=jnp.dtype(dtype),
+        remat=True,  # stored activations of this grad program are 62 GB without it
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
