@@ -58,6 +58,56 @@ def load_checkpoint(folder: str | Path, template: Any, name: str | None = None):
     raise FileNotFoundError(f"no checkpoint among {names} in {folder}")
 
 
+# ---------------------------------------------------------------------------
+# Orbax backend (optional): async, multi-host-safe checkpointing for large
+# states. The msgpack triad above is the default (portable single files, no
+# extra deps at runtime); orbax adds background saves (training continues
+# while the previous state serializes) and per-array ocdbt storage that
+# scales to sharded multi-host states. Env: CSOF_CKPT_BACKEND=orbax, or call
+# these directly.
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint_orbax(
+    folder: str | Path, state: Any, name: str = LATEST, meta: dict | None = None,
+    async_save: bool = False,
+):
+    """Write `state` under folder/<name>.orbax (plus the same JSON sidecar
+    as the msgpack path). With async_save, returns an orbax AsyncCheckpointer
+    whose .wait_until_finished() must be called before process exit."""
+    import orbax.checkpoint as ocp
+
+    folder = Path(folder)
+    folder.mkdir(parents=True, exist_ok=True)
+    path = (folder / (name + ".orbax")).resolve()
+    ckptr = (
+        ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        if async_save
+        else ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    )
+    ckptr.save(path, jax.device_get(state), force=True)
+    if meta is not None:
+        (folder / (name + ".json")).write_text(json.dumps(_jsonable(meta), indent=2))
+    return ckptr if async_save else None
+
+
+def load_checkpoint_orbax(folder: str | Path, template: Any, name: str | None = None):
+    """Orbax twin of load_checkpoint with the same final->latest->best
+    fallback chain."""
+    import orbax.checkpoint as ocp
+
+    folder = Path(folder)
+    ckptr = ocp.Checkpointer(ocp.StandardCheckpointHandler())
+    for n in [name] if name else [FINAL, LATEST, BEST]:
+        p = (folder / (n + ".orbax")).resolve()
+        if p.exists():
+            state = ckptr.restore(p, args=ocp.args.StandardRestore(jax.device_get(template)))
+            meta_p = folder / (n + ".json")
+            meta = json.loads(meta_p.read_text()) if meta_p.exists() else {}
+            return state, meta
+    raise FileNotFoundError(f"no orbax checkpoint in {folder}")
+
+
 def _jsonable(o):
     if isinstance(o, dict):
         return {k: _jsonable(v) for k, v in o.items()}

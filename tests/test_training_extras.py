@@ -66,3 +66,29 @@ def test_region_based_evaluation():
     assert 0.9 < res["whole_heart"]["Dice"] <= 1.0
     assert res["LV"]["Dice"] == 1.0
     assert np.isfinite(res["LV_epi"]["HD95"])
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Optional orbax backend: same triad contract, async save supported."""
+    import numpy as np
+
+    from csof_tpu.training import checkpoint as ckpt
+
+    state = {"params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "step": np.int32(7)}
+    ckpt.save_checkpoint_orbax(tmp_path, state, ckpt.FINAL, meta={"epoch": 3})
+    restored, meta = ckpt.load_checkpoint_orbax(
+        tmp_path, {"params": {"w": np.zeros((2, 3), np.float32)}, "step": np.int32(0)}
+    )
+    np.testing.assert_array_equal(restored["params"]["w"], state["params"]["w"])
+    assert int(restored["step"]) == 7
+    assert meta["epoch"] == 3
+
+    # async save: handle must be waitable and produce a loadable checkpoint
+    handle = ckpt.save_checkpoint_orbax(tmp_path, state, ckpt.BEST, async_save=True)
+    handle.wait_until_finished()
+    restored2, _ = ckpt.load_checkpoint_orbax(
+        tmp_path, {"params": {"w": np.zeros((2, 3), np.float32)}, "step": np.int32(0)},
+        name=ckpt.BEST,
+    )
+    np.testing.assert_array_equal(restored2["params"]["w"], state["params"]["w"])

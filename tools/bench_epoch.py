@@ -23,7 +23,7 @@ REF_EPOCH_V100 = 81.92
 ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
 
 
-def main(dtype="bfloat16", batch=2):
+def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0):
     import jax
     import jax.numpy as jnp
     import optax
@@ -39,7 +39,7 @@ def main(dtype="bfloat16", batch=2):
         num_classes=3, base_num_features=32, pool_kernel_sizes=pools,
         conv_kernel_sizes=kernels, deep_supervision=True,
         dtype=jnp.dtype(dtype),
-        remat=True,  # stored activations of this grad program are 62 GB without it
+        remat=not fwd_only,  # stored activations of the grad program are 62 GB without it
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
@@ -48,17 +48,33 @@ def main(dtype="bfloat16", batch=2):
     tx = optax.chain(optax.clip_by_global_norm(12.0), optax.sgd(0.01, momentum=0.99, nesterov=True))
     opt = tx.init(params)
 
-    def loss_fn(p):
-        outs = net.apply(p, x)
+    def loss_fn(p, jiggle):
+        outs = L.fence_outputs(net.apply(p, x))
         targets = L.downsample_seg_for_ds(y, pools)[: len(outs)]
-        return L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+        loss = L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+        if draw > 0:
+            from csof_tpu.utils.autotune import jiggle_term
 
-    @jax.jit
-    def step(params, opt):
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, updates), opt, loss
+            loss = loss + jiggle_term(jiggle, draw)
+        return loss
 
+    zero = jnp.float32(0.0)
+    if fwd_only:
+        @jax.jit
+        def step(params, opt):
+            return params, opt, sum(o.sum() for o in net.apply(params, x))
+    else:
+        @jax.jit
+        def step(params, opt):
+            loss, grads = jax.value_and_grad(loss_fn)(params, zero)
+            updates, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, updates), opt, loss
+
+    flops = None
+    try:
+        flops = step.lower(params, opt).compile().cost_analysis().get("flops")
+    except Exception:
+        pass
     params, opt, loss = step(params, opt)
     jax.block_until_ready(loss)
     reps = 10
@@ -68,21 +84,31 @@ def main(dtype="bfloat16", batch=2):
     jax.block_until_ready(loss)
     sec_per_iter = (time.perf_counter() - t0) / reps * (2 / batch)
     epoch_sec = sec_per_iter * ITERS_PER_EPOCH
-    print(
-        json.dumps(
-            {
-                "config": f"task002_heart_3dfullres_epoch_b{batch}",
-                "sec_per_iter": round(sec_per_iter, 3),
-                "epoch_sec_v5e": round(epoch_sec, 1),
-                "ref_epoch_sec_a100": REF_EPOCH_A100,
-                "speedup_vs_a100": round(REF_EPOCH_A100 / epoch_sec, 2),
-                "speedup_vs_v100": round(REF_EPOCH_V100 / epoch_sec, 2),
-            }
-        )
-    )
+    rec = {
+        "config": f"task002_heart_3dfullres_epoch_b{batch}"
+        + ("_fwd" if fwd_only else "")
+        + (f"_draw{draw}" if draw else ""),
+        "sec_per_iter": round(sec_per_iter, 3),
+        "epoch_sec_v5e": round(epoch_sec, 1),
+        "ref_epoch_sec_a100": REF_EPOCH_A100,
+        "speedup_vs_a100": round(REF_EPOCH_A100 / epoch_sec, 2),
+        "speedup_vs_v100": round(REF_EPOCH_V100 / epoch_sec, 2),
+    }
+    if flops:
+        rec["tflops_per_iter"] = round(flops / 1e12, 2)
+        rec["achieved_tflops"] = round(flops / 1e12 / (sec_per_iter * batch / 2), 1)
+    print(json.dumps(rec), flush=True)
 
 
 if __name__ == "__main__":
     import sys as _s
 
-    main(batch=int(_s.argv[1]) if len(_s.argv) > 1 else 2)
+    kw = {}
+    for a in _s.argv[1:]:
+        if a == "fwd":
+            kw["fwd_only"] = True
+        elif a.startswith("draw"):
+            kw["draw"] = int(a[4:])
+        else:
+            kw["batch"] = int(a)
+    main(**kw)
