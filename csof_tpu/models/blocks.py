@@ -43,6 +43,22 @@ class InstanceNorm(nn.Module):
 
             return instance_norm_leaky_relu_pallas(x, scale, bias)
         axes = tuple(range(1, x.ndim - 1))
+        if x.dtype == jnp.bfloat16:
+            # bf16 fast path: f32 ACCUMULATION without f32 MATERIALIZATION.
+            # The previous x.astype(f32) pipeline made XLA materialize
+            # full-resolution f32 temps around every norm — at 3d_fullres
+            # geometry those were the six largest allocations of the train
+            # step (1.85 GB each incl. the 4x lane-padding, OOM dump in
+            # docs/BENCHMARKS.md). One-pass E[x^2]-E[x]^2 with dtype=f32
+            # reductions keeps every materialized tensor bf16; the affine is
+            # folded to a single fused multiply-add in bf16 (same final
+            # precision — the old path rounded its f32 result to bf16 too).
+            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
+            m2 = jnp.mean(jnp.square(x), axis=axes, keepdims=True, dtype=jnp.float32)
+            inv = jax.lax.rsqrt(jnp.maximum(m2 - mean * mean, 0.0) + self.eps)
+            a = (scale * inv).astype(x.dtype)
+            b = (bias - mean * inv * scale).astype(x.dtype)
+            return x * a + b
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)

@@ -48,6 +48,10 @@ class GenericUNet(nn.Module):
     #: 15.75 GB HBM (measured OOM, tools/bench_epoch.py); remat trades
     #: ~1/3 extra conv FLOPs for block-boundary-only activation storage.
     remat: bool = False
+    #: with remat on, only rematerialize resolution levels < remat_levels
+    #: (the high-res stages hold nearly all activation memory; storing the
+    #: cheap deep stages avoids their recompute FLOPs). None = all levels.
+    remat_levels: int | None = None
 
     def features_at(self, level: int) -> int:
         ndim = len(self.conv_kernel_sizes[0])
@@ -59,12 +63,18 @@ class GenericUNet(nn.Module):
         """x: (N, *spatial, C_in) -> logits (N, *spatial, num_classes) or a
         tuple of deep-supervision logits, full resolution first."""
         num_pool = len(self.pool_kernel_sizes)
-        Stacked = nn.remat(StackedConvs) if self.remat else StackedConvs
+
+        def stacked_for(level: int):
+            on = self.remat and (
+                self.remat_levels is None or level < self.remat_levels
+            )
+            return nn.remat(StackedConvs) if on else StackedConvs
+
         skips = []
         # encoder: levels 0..num_pool-1 at stride 1 relative to their input,
         # downsampling via the first conv of the *next* stage
         for d in range(num_pool):
-            x = Stacked(
+            x = stacked_for(d)(
                 self.features_at(d),
                 self.conv_per_stage,
                 self.conv_kernel_sizes[d],
@@ -76,7 +86,7 @@ class GenericUNet(nn.Module):
         # bottleneck (ref: generic_UNet.py:290-305): downsample, then
         # conv_per_stage-1 convs at one feature level + 1 conv at next
         bottleneck_feats = self.features_at(num_pool)
-        x = Stacked(
+        x = stacked_for(num_pool)(
             bottleneck_feats,
             self.conv_per_stage,
             self.conv_kernel_sizes[num_pool],
@@ -103,7 +113,7 @@ class GenericUNet(nn.Module):
             # (ref: generic_UNet.py:346), i.e. level L uses kernels[L+1] — for
             # anisotropic plans the full-res decoder stage uses the 3x3x3
             # kernel, NOT the (1,3,3) of encoder level 0
-            x = Stacked(
+            x = stacked_for(level)(
                 self.features_at(level),
                 self.conv_per_stage,
                 self.conv_kernel_sizes[level + 1],

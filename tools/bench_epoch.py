@@ -23,7 +23,8 @@ REF_EPOCH_V100 = 81.92
 ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
 
 
-def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0):
+def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
+         loss_kind="dice_ce", remat_levels=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -37,9 +38,10 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0):
     kernels = ((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3))
     net = GenericUNet(
         num_classes=3, base_num_features=32, pool_kernel_sizes=pools,
-        conv_kernel_sizes=kernels, deep_supervision=True,
+        conv_kernel_sizes=kernels, deep_supervision=ds,
         dtype=jnp.dtype(dtype),
         remat=not fwd_only,  # stored activations of the grad program are 62 GB without it
+        remat_levels=remat_levels,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
@@ -48,10 +50,19 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0):
     tx = optax.chain(optax.clip_by_global_norm(12.0), optax.sgd(0.01, momentum=0.99, nesterov=True))
     opt = tx.init(params)
 
+    kinds = {
+        "dice_ce": L.dice_and_ce_loss,
+        "dice": lambda o, t: L.soft_dice_loss(o, t, batch_dice=True),
+        "ce": L.cross_entropy_loss,
+    }
+
     def loss_fn(p, jiggle):
-        outs = L.fence_outputs(net.apply(p, x))
+        outs = net.apply(p, x)
+        if not isinstance(outs, tuple):
+            outs = (outs,)
+        outs = L.fence_outputs(outs)
         targets = L.downsample_seg_for_ds(y, pools)[: len(outs)]
-        loss = L.deep_supervision_loss(outs, targets, L.dice_and_ce_loss)
+        loss = L.deep_supervision_loss(outs, targets, kinds[loss_kind])
         if draw > 0:
             from csof_tpu.utils.autotune import jiggle_term
 
@@ -87,7 +98,10 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0):
     rec = {
         "config": f"task002_heart_3dfullres_epoch_b{batch}"
         + ("_fwd" if fwd_only else "")
-        + (f"_draw{draw}" if draw else ""),
+        + (f"_draw{draw}" if draw else "")
+        + ("" if ds else "_nods")
+        + ("" if loss_kind == "dice_ce" else f"_{loss_kind}")
+        + ("" if remat_levels is None else f"_remat{remat_levels}"),
         "sec_per_iter": round(sec_per_iter, 3),
         "epoch_sec_v5e": round(epoch_sec, 1),
         "ref_epoch_sec_a100": REF_EPOCH_A100,
@@ -107,8 +121,14 @@ if __name__ == "__main__":
     for a in _s.argv[1:]:
         if a == "fwd":
             kw["fwd_only"] = True
+        elif a == "nods":
+            kw["ds"] = False
+        elif a in ("dice", "ce"):
+            kw["loss_kind"] = a
         elif a.startswith("draw"):
             kw["draw"] = int(a[4:])
+        elif a.startswith("rl"):
+            kw["remat_levels"] = int(a[2:])
         else:
             kw["batch"] = int(a)
     main(**kw)
