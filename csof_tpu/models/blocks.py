@@ -80,13 +80,28 @@ class GroupNorm(nn.Module):
             g -= 1
         orig_shape = x.shape
         spatial = x.shape[1:-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if x.dtype == jnp.bfloat16:
+            # bf16 fast path: f32 accumulation without f32 materialization
+            # (same rationale + measurements as InstanceNorm above)
+            xg = x.reshape(x.shape[0], *spatial, g, c // g)
+            axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
+            mean = jnp.mean(xg, axis=axes, keepdims=True, dtype=jnp.float32)
+            m2 = jnp.mean(jnp.square(xg), axis=axes, keepdims=True, dtype=jnp.float32)
+            inv = jax.lax.rsqrt(jnp.maximum(m2 - mean * mean, 0.0) + self.eps)
+            # broadcast group stats to per-channel (N, 1..., C) affine
+            reps = (1,) * (mean.ndim - 1) + (c // g,)
+            mean_c = jnp.tile(mean, reps).reshape(x.shape[0], *(1,) * len(spatial), c)
+            inv_c = jnp.tile(inv, reps).reshape(x.shape[0], *(1,) * len(spatial), c)
+            a = (scale * inv_c).astype(x.dtype)
+            b = (bias - mean_c * inv_c * scale).astype(x.dtype)
+            return x * a + b
         xg = x.astype(jnp.float32).reshape(x.shape[0], *spatial, g, c // g)
         axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
         mean = jnp.mean(xg, axis=axes, keepdims=True)
         var = jnp.var(xg, axis=axes, keepdims=True)
         y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(orig_shape)
-        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         return (y * scale + bias).astype(x.dtype)
 
 
