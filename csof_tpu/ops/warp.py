@@ -55,6 +55,9 @@ def grid_sample(
     frac = coords - floor
     base = floor.astype(jnp.int32)
 
+    if ndim == 2 and mode == "bilinear" and _use_mxu_sample(image, coords):
+        return _grid_sample_2d_mxu(image, coords, padding)
+
     out = jnp.zeros(coords.shape[:-1] + (image.shape[-1],), image.dtype)
     for corner in range(2**ndim):
         offs = [(corner >> d) & 1 for d in range(ndim)]
@@ -70,6 +73,64 @@ def grid_sample(
         cidx = [jnp.clip(idx[d], 0, spatial[d] - 1) for d in range(ndim)]
         out = out + w[..., None] * image[tuple(cidx)]
     return out
+
+
+def _use_mxu_sample(image, coords) -> bool:
+    """Gate for the MXU bilinear path: gathers are scalar-unit work on TPU
+    (the dominant cost of dense warps), while the two-hot-selector matmul
+    rides the systolic array — but its (n, W, C) intermediate must stay
+    small. Off for CPU-ish tiny shapes, wide-channel images, or if
+    CSOF_WARP_IMPL=gather."""
+    import os
+    import numpy as np
+
+    impl = os.environ.get("CSOF_WARP_IMPL", "mxu")
+    if impl != "mxu":
+        return False
+    n = int(np.prod(coords.shape[:-1]))
+    h, w = image.shape[0], image.shape[1]
+    c = image.shape[-1]
+    return n >= 1024 and (n * w * c) <= 64 * 1024 * 1024 and h >= 16 and w >= 16
+
+
+def _grid_sample_2d_mxu(image: jnp.ndarray, coords: jnp.ndarray, padding: str) -> jnp.ndarray:
+    """Dense 2D bilinear sampling as two-hot selector matmuls (zero gathers).
+
+    out[n] = Ry[n, :] @ image @ diag-free Cx[n, :] reduction, where
+    Ry[n, y] = (1-fy)[y == y0] + fy[y == y0+1] (likewise Cx for columns):
+    bilinear interpolation IS a two-hot linear map per axis, so the sample
+    becomes tmp = Ry @ image (MXU matmul) followed by a weighted column
+    reduction. Out-of-range taps produce all-zero selector rows, which is
+    exactly zero-padded bilinear sampling; border padding clamps coords
+    first. Same trick as ops/correlation.lookup_correlation (RAFT lookup,
+    5.1x) — gathers are scalar-unit work on TPU, matmuls are not.
+    """
+    h, w, c = image.shape
+    out_shape = coords.shape[:-1]
+    n = 1
+    for s in out_shape:
+        n *= s
+    cc = coords.reshape(n, 2).astype(jnp.float32)
+    if padding == "border":
+        cc = jnp.stack(
+            [jnp.clip(cc[:, 0], 0.0, h - 1.0), jnp.clip(cc[:, 1], 0.0, w - 1.0)],
+            axis=-1,
+        )
+    cy, cx = cc[:, 0], cc[:, 1]
+    y0f, x0f = jnp.floor(cy), jnp.floor(cx)
+    fy, fx = (cy - y0f)[:, None], (cx - x0f)[:, None]
+    y0 = y0f.astype(jnp.int32)[:, None]
+    x0 = x0f.astype(jnp.int32)[:, None]
+    ygrid = jnp.arange(h, dtype=jnp.int32)[None, :]
+    xgrid = jnp.arange(w, dtype=jnp.int32)[None, :]
+    ry = (ygrid == y0) * (1 - fy) + (ygrid == y0 + 1) * fy  # (n, H)
+    cxm = (xgrid == x0) * (1 - fx) + (xgrid == x0 + 1) * fx  # (n, W)
+    tmp = jnp.einsum(
+        "ny,ywc->nwc", ry, image.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    out = jnp.einsum("nwc,nw->nc", tmp, cxm, preferred_element_type=jnp.float32)
+    return out.reshape(*out_shape, c).astype(image.dtype)
 
 
 def warp_image(

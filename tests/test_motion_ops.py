@@ -191,3 +191,34 @@ def test_resize_flow_rescales_magnitude():
     flow = jnp.ones((8, 8, 2))
     out = resize_flow(flow, (16, 16))
     np.testing.assert_allclose(np.asarray(out), 2.0, atol=1e-5)
+
+
+def test_grid_sample_mxu_matches_gather():
+    """The two-hot-selector MXU bilinear path must equal the corner-gather
+    reference for zeros and border padding, including out-of-range coords."""
+    import os
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from csof_tpu.ops import warp as W
+
+    rng = np.random.RandomState(7)
+    img = jnp.asarray(rng.rand(48, 40, 3).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(-6, 52, (33, 29, 2)).astype(np.float32))
+    for padding in ("zeros", "border"):
+        os.environ["CSOF_WARP_IMPL"] = "gather"
+        ref = W.grid_sample(img, coords, padding=padding)
+        os.environ["CSOF_WARP_IMPL"] = "mxu"
+        try:
+            # force the fast path despite the small-n gate
+            orig = W._use_mxu_sample
+            W._use_mxu_sample = lambda *a: True
+            fast = W.grid_sample(img, coords, padding=padding)
+        finally:
+            W._use_mxu_sample = orig
+            os.environ.pop("CSOF_WARP_IMPL", None)
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(ref), atol=2e-5,
+            err_msg=f"padding={padding}",
+        )
