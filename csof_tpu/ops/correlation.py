@@ -164,16 +164,19 @@ def local_correlation_volume(
     products (rolls + multiplies) instead of gathers.
     """
     if impl == "auto":
-        # CSOF_CORR_IMPL picks jnp | einsum | pallas. v5e notes
-        # (tools/bench_explore.py): the shifted-slice jnp path costs ~1/3 of
-        # SegFlow runtime; the pallas kernel matches numerics standalone but
-        # pallas-inside-vmap(scan) hangs this environment's remote compile
-        # service; einsum maps the contraction onto the MXU via im2col.
+        # CSOF_CORR_IMPL picks jnp | einsum | pallas; unset -> pallas on a
+        # TPU backend, jnp elsewhere. The pallas kernel (custom_vmap batch
+        # grid + custom VJP with a shifted-slice XLA backward) is both
+        # faster and leaner than the jnp path in training too: at SegFlow
+        # b=4/t=6 the jnp-corr train step OOMs the v5e by 69 MB while the
+        # pallas one runs at 105 frames/s (tools/bench_segflow_train.py).
         import os
 
-        impl = os.environ.get("CSOF_CORR_IMPL", "jnp")
+        impl = os.environ.get("CSOF_CORR_IMPL")
         if impl not in ("jnp", "einsum", "pallas"):
-            impl = "jnp"
+            import jax as _jax
+
+            impl = "pallas" if _jax.default_backend() == "tpu" else "jnp"
     if impl == "pallas":
         # VMEM-resident kernel: one HBM read of query+memory instead of
         # (2r+1)^2 shifted slices (measured ~1/3 of SegFlow runtime on v5e

@@ -144,13 +144,52 @@ def local_correlation_volume_pallas_batched(
 @functools.lru_cache(maxsize=None)
 def _make_corr_fn(radius: int, stride: int, interpret: bool):
     """custom_vmap traces every positional argument, so the static kernel
-    parameters are closed over here (one cached wrapper per config)."""
+    parameters are closed over here (one cached wrapper per config).
+
+    The batched kernel carries a custom VJP (pallas_call has no JVP rule,
+    so the kernel would otherwise be forward-only): the backward runs as
+    (2r+1)^2 static shifted slices / slice-adds in XLA — exactly the work
+    autodiff emits for the jnp forward, so pallas-fwd + XLA-bwd strictly
+    dominates the all-jnp training path."""
+
+    @jax.custom_vjp
+    def batched(query, memory):
+        return local_correlation_volume_pallas_batched(
+            query, memory, radius, stride, interpret
+        )
+
+    def _fwd(query, memory):
+        return batched(query, memory), (query, memory)
+
+    def _bwd(res, g):
+        query, memory = res
+        b, h, w, c = query.shape
+        pad = radius * stride
+        scale = 1.0 / math.sqrt(c)
+        g = g.astype(jnp.float32)
+        qf = query.astype(jnp.float32)
+        m_pad = jnp.pad(
+            memory.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+        )
+        dq = jnp.zeros((b, h, w, c), jnp.float32)
+        dm_pad = jnp.zeros_like(m_pad)
+        i = 0
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                oy, ox = dy * stride + pad, dx * stride + pad
+                gk = g[..., i][..., None] * scale  # (B, H, W, 1)
+                shifted = jax.lax.dynamic_slice(m_pad, (0, oy, ox, 0), (b, h, w, c))
+                dq = dq + gk * shifted
+                dm_pad = dm_pad.at[:, oy : oy + h, ox : ox + w, :].add(gk * qf)
+                i += 1
+        dm = dm_pad[:, pad : pad + h, pad : pad + w, :]
+        return dq.astype(query.dtype), dm.astype(memory.dtype)
+
+    batched.defvjp(_fwd, _bwd)
 
     @jax.custom_batching.custom_vmap
     def corr(query, memory):
-        return local_correlation_volume_pallas_batched(
-            query[None], memory[None], radius, stride, interpret
-        )[0]
+        return batched(query[None], memory[None])[0]
 
     @corr.def_vmap
     def _rule(axis_size, in_batched, query, memory):
@@ -159,10 +198,7 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
             query = jnp.broadcast_to(query[None], (axis_size, *query.shape))
         if not mb:
             memory = jnp.broadcast_to(memory[None], (axis_size, *memory.shape))
-        out = local_correlation_volume_pallas_batched(
-            query, memory, radius, stride, interpret
-        )
-        return out, True
+        return batched(query, memory), True
 
     return corr
 

@@ -65,3 +65,34 @@ def test_pallas_ncc_map_values():
     cc = ncc_map_pallas(x, x, window=5, interpret=True)
     interior = np.asarray(cc)[4:-4, 4:-4]
     np.testing.assert_allclose(interior, 1.0, atol=1e-3)
+
+
+def test_pallas_corr_custom_vjp_matches_jnp_grads():
+    """Gradients through the pallas corr (custom VJP: pallas fwd + shifted
+    -slice XLA bwd) must equal autodiff through the jnp reference, for both
+    query and memory, including under vmap."""
+    import jax
+
+    from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
+
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.rand(2, 16, 16, 6).astype(np.float32))
+    m = jnp.asarray(rng.rand(2, 16, 16, 6).astype(np.float32))
+    tgt = jnp.asarray(rng.rand(2, 16, 16, 25).astype(np.float32))
+
+    def loss_pallas(q, m):
+        out = jax.vmap(
+            lambda a, b: local_correlation_volume_pallas(a, b, 2, 1, True)
+        )(q, m)
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_jnp(q, m):
+        out = jax.vmap(
+            lambda a, b: local_correlation_volume(a, b, radius=2, stride=1)
+        )(q, m)
+        return jnp.sum((out - tgt) ** 2)
+
+    gq_p, gm_p = jax.grad(loss_pallas, argnums=(0, 1))(q, m)
+    gq_j, gm_j = jax.grad(loss_jnp, argnums=(0, 1))(q, m)
+    np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_j), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_j), atol=1e-4)
