@@ -26,6 +26,7 @@ from csof_tpu.ops.jacobian import jacobian_determinant_batch
 from csof_tpu.ops.strain import (
     contour_tracking_error,
     extract_contour_points,
+    radial_strain_curve,
     strain_curves,
     track_contour,
 )
@@ -65,16 +66,21 @@ def strain_report(seg: np.ndarray) -> dict:
     """seg: (T, D, H, W) label sequence. Per-depth strain curves averaged
     over depth (ref: save_strain.py writes D x T curves)."""
     t, d = seg.shape[:2]
-    rv, lv = [], []
+    rv, lv, radial = [], [], []
     for z in range(d):
         curves = strain_curves(jnp.asarray(seg[:, z]))
         rv.append(np.asarray(curves["rv"]))
         lv.append(np.asarray(curves["lv"]))
+        # LV radial (wall-thickening) strain, the Sradial_LV_curve
+        # counterpart (ref: compute_strain_curve_metric.py:30)
+        radial.append(radial_strain_curve(seg[:, z]))
     return {
         "rv_strain_per_depth": np.stack(rv).tolist(),
         "lv_strain_per_depth": np.stack(lv).tolist(),
+        "lv_radial_strain_per_depth": np.stack(radial).tolist(),
         "rv_strain_mean": np.stack(rv).mean(0).tolist(),
         "lv_strain_mean": np.stack(lv).mean(0).tolist(),
+        "lv_radial_strain_mean": np.nanmean(np.stack(radial), axis=0).tolist(),
     }
 
 
@@ -153,6 +159,9 @@ def write_strain_csv(report: dict, path: str | Path):
             s = entry.get("strain")
             if not s:
                 continue
-            for name in ("rv", "lv"):
-                for t, v in enumerate(s[f"{name}_strain_mean"]):
+            for name in ("rv", "lv", "lv_radial"):
+                key = f"{name}_strain_mean"
+                if key not in s:
+                    continue
+                for t, v in enumerate(s[key]):
                     w.writerow([case, name.upper(), t, f"{v:.4f}"])

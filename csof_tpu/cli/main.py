@@ -348,6 +348,11 @@ def evaluate_entry(argv=None):
     p.add_argument("-r", "--ref", required=True)
     p.add_argument("-l", "--labels", type=int, nargs="+", required=True)
     p.add_argument("-o", "--output", default=None)
+    p.add_argument(
+        "--nsd-threshold", type=float, nargs="*", default=[],
+        help="also report normalized surface dice at these tolerances in mm "
+        "(ref: evaluation/surface_dice.py:20)",
+    )
     a = p.parse_args(argv)
     pred_dir, ref_dir = Path(a.pred), Path(a.ref)
     pairs = []
@@ -358,7 +363,9 @@ def evaluate_entry(argv=None):
     if not pairs:
         p.error(f"no matching prediction/reference pairs between {pred_dir} and {ref_dir}")
     out = a.output or (pred_dir / "summary.json")
-    res = aggregate_scores(pairs, a.labels, json_output_file=out)
+    res = aggregate_scores(
+        pairs, a.labels, json_output_file=out, nsd_thresholds=tuple(a.nsd_threshold)
+    )
     print(json.dumps(res["mean"], indent=2))
 
 
@@ -438,6 +445,43 @@ def jacobian_entry(argv=None):
     strain_entry(argv)  # same tree analysis covers jacobian + strain
 
 
+def strain_curve_metric_entry(argv=None):
+    """Compare AI vs GT strain curves (ref: compute_strain_curve_metric.py
+    mean-curve comparison + compute_stats_strain.py per-case CSV). AI and GT
+    folders hold per-case curve files (.mat Medis export / .npz / .npy)
+    matched by sorted order, or by basename with --match-names."""
+    from csof_tpu.analysis.strain_curves import aggregate_strain_curve_metrics
+
+    p = argparse.ArgumentParser("csof_strain_curve_metric")
+    p.add_argument("--ai", required=True, help="folder of AI strain curve files")
+    p.add_argument("--gt", required=True, help="folder of GT strain curve files")
+    p.add_argument("-o", "--output", default=None, help="output folder (default: AI folder)")
+    p.add_argument("--match-names", action="store_true",
+                   help="pair by identical basename instead of sorted order")
+    a = p.parse_args(argv)
+    exts = ("*.mat", "*.npz", "*.npy")
+    ai_files = sorted(f for pat in exts for f in Path(a.ai).glob(pat))
+    gt_files = sorted(f for pat in exts for f in Path(a.gt).glob(pat))
+    if a.match_names:
+        gt_by_name = {f.name: f for f in gt_files}
+        pairs = [(f, gt_by_name[f.name]) for f in ai_files if f.name in gt_by_name]
+    else:
+        # the reference pairs sorted glob lists positionally
+        # (compute_strain_curve_metric.py:16-17, zip at :26)
+        pairs = list(zip(ai_files, gt_files))
+    if not pairs:
+        p.error(f"no curve file pairs between {a.ai} and {a.gt}")
+    out_dir = Path(a.output) if a.output else Path(a.ai)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    res = aggregate_strain_curve_metrics(
+        pairs,
+        csv_out=out_dir / "strain_metrics.csv",
+        json_out=out_dir / "strain_curve_summary.json",
+    )
+    print(json.dumps(res["mean"], indent=2))
+    print(f"{len(pairs)} cases -> {out_dir}/strain_metrics.csv")
+
+
 def throughput_entry(argv=None):
     import bench
 
@@ -511,10 +555,13 @@ def install_model_entry(argv=None):
     a = p.parse_args(argv)
     out = Path(a.output)
     out.mkdir(parents=True, exist_ok=True)
+    root = out.resolve()
     with zipfile.ZipFile(a.zip) as z:
         for name in z.namelist():
             dest = (out / name).resolve()
-            if not str(dest).startswith(str(out.resolve())):
+            # is_relative_to (not a string prefix check): /x/model2 is NOT
+            # inside /x/model even though the string starts with it
+            if not (dest == root or dest.is_relative_to(root)):
                 p.error(f"refusing unsafe zip member path {name!r}")
         z.extractall(out)
         n = len(z.namelist())
@@ -655,6 +702,7 @@ if __name__ == "__main__":
         "find_best_configuration": find_best_configuration_entry,
         "strain": strain_entry,
         "jacobian": jacobian_entry,
+        "strain_curve_metric": strain_curve_metric_entry,
         "throughput": throughput_entry,
         "convert_mnms": convert_mnms_entry,
         "convert_decathlon": convert_decathlon_entry,

@@ -16,8 +16,13 @@ from csof_tpu.evaluation import metrics as M
 from csof_tpu.utils.nifti import load_nifti
 
 
+def _nsd_name(t: float) -> str:
+    return f"Normalized Surface Dice @{t:g}mm"
+
+
 def evaluate_case(
-    pred: np.ndarray, ref: np.ndarray, labels, spacing=None, surface: bool = True
+    pred: np.ndarray, ref: np.ndarray, labels, spacing=None, surface: bool = True,
+    nsd_thresholds: tuple[float, ...] = (),
 ) -> dict:
     out = {}
     for label in labels:
@@ -28,6 +33,10 @@ def evaluate_case(
                 res.update({name: fn(p, r, spacing) for name, fn in M.SURFACE_METRICS.items()})
             else:
                 res.update({name: float("nan") for name in M.SURFACE_METRICS})
+        for t in nsd_thresholds:
+            # ref: evaluation/surface_dice.py:20 normalized_surface_dice,
+            # threshold in mm via the case spacing
+            res[_nsd_name(t)] = M.normalized_surface_dice(p, r, t, spacing)
         out[str(int(label))] = res
     return out
 
@@ -40,6 +49,7 @@ def aggregate_scores(
     json_task: str = "",
     surface: bool = True,
     num_workers: int = 1,
+    nsd_thresholds: tuple[float, ...] = (),
 ) -> dict:
     """Evaluate (pred, ref) NIfTI path pairs; write summary.json
     (ref: evaluator.py:333-429)."""
@@ -48,7 +58,8 @@ def aggregate_scores(
         pi = load_nifti(pred_path)
         ri = load_nifti(ref_path)
         case = evaluate_case(
-            pi.data_czyx, ri.data_czyx, labels, spacing=pi.spacing_zyx, surface=surface
+            pi.data_czyx, ri.data_czyx, labels, spacing=pi.spacing_zyx, surface=surface,
+            nsd_thresholds=nsd_thresholds,
         )
         case["test"] = str(pred_path)
         case["reference"] = str(ref_path)
@@ -58,7 +69,11 @@ def aggregate_scores(
     for label in labels:
         key = str(int(label))
         mean[key] = {}
-        metric_names = list(M.ALL_METRICS) + (list(M.SURFACE_METRICS) if surface else [])
+        metric_names = (
+            list(M.ALL_METRICS)
+            + (list(M.SURFACE_METRICS) if surface else [])
+            + [_nsd_name(t) for t in nsd_thresholds]
+        )
         for name in metric_names:
             vals = [c[key][name] for c in all_res if not np.isnan(c[key][name]) and np.isfinite(c[key][name])]
             mean[key][name] = float(np.mean(vals)) if vals else float("nan")

@@ -153,14 +153,18 @@ def dice_and_ce_loss(
     )
 
 
-def deep_supervision_weights(num_outputs: int, mask_last: bool = True) -> jnp.ndarray:
+def deep_supervision_weights(num_outputs: int, mask_last: bool = True) -> np.ndarray:
     """1/2^i weights, normalized; lowest resolution(s) masked out below a
     minimum feature-map size in the reference — here the lowest level is
-    dropped when mask_last (ref: nnUNetTrainerV2.py:78-90)."""
-    w = jnp.array([1 / (2**i) for i in range(num_outputs)])
+    dropped when mask_last (ref: nnUNetTrainerV2.py:78-90).
+
+    Returns HOST (numpy) values: deep_supervision_loss requires static
+    weights so zero-weighted scales are dropped at trace time (a jnp array
+    here would raise TracerArrayConversionError under jit)."""
+    w = np.array([1 / (2**i) for i in range(num_outputs)])
     if mask_last and num_outputs > 2:
-        w = w.at[-1].set(0.0)
-    return w / jnp.sum(w)
+        w[-1] = 0.0
+    return w / np.sum(w)
 
 
 def deep_supervision_loss(outputs: Sequence[jnp.ndarray], targets: Sequence[jnp.ndarray], loss_fn, weights=None):
@@ -174,13 +178,7 @@ def deep_supervision_loss(outputs: Sequence[jnp.ndarray], targets: Sequence[jnp.
     tools/bench_epoch2d.py: 6-scale 195 ms/iter vs 122 ms with the zero
     scale dropped — same math, same gradients)."""
     if weights is None:
-        # host-side copy of the deep_supervision_weights formula (the jnp
-        # version may be traced under jit and so cannot be inspected)
-        n = len(outputs)
-        w = np.array([1 / (2**i) for i in range(n)])
-        if n > 2:
-            w[-1] = 0.0
-        weights = w / w.sum()
+        weights = deep_supervision_weights(len(outputs))
     weights = np.asarray(weights)  # must be static (host) values
     total = 0.0
     for i, (o, t) in enumerate(zip(outputs, targets)):

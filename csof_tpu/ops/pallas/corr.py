@@ -72,10 +72,13 @@ def _corr_tile_kernel(
 
 
 def _pick_tile_h(h: int, w: int, c: int, k2: int, pad: int, budget_mb: float = 10.0):
-    """Largest row-tile whose q + m-scratch + out blocks fit the VMEM budget."""
-    for th in (h, 256, 128, 64, 32, 16, 8):
-        if th > h or h % th:
-            continue
+    """Largest row-tile whose q + m-scratch + out blocks fit the VMEM budget.
+
+    The returned tile need NOT divide h: the caller pads the row axis to a
+    tile multiple and slices the output back (a non-dividing tile previously
+    left the trailing h % tile_h rows of the output unwritten)."""
+    candidates = [th for th in (h, 256, 128, 64, 32, 16, 8) if th <= h] or [h]
+    for th in candidates:
         bytes_needed = 4 * (
             c * th * w  # q block
             + c * _round_up(th + 2 * pad, 8) * _round_up(w + 2 * pad, 128)  # m scratch
@@ -83,7 +86,7 @@ def _pick_tile_h(h: int, w: int, c: int, k2: int, pad: int, budget_mb: float = 1
         )
         if bytes_needed <= budget_mb * 1024 * 1024:
             return th
-    return 8
+    return candidates[-1]
 
 
 def local_correlation_volume_pallas_batched(
@@ -92,6 +95,7 @@ def local_correlation_volume_pallas_batched(
     radius: int = 4,
     stride: int = 1,
     interpret: bool = False,
+    budget_mb: float = 10.0,
 ) -> jnp.ndarray:
     """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2)."""
     b, h, w, c = query.shape
@@ -102,12 +106,17 @@ def local_correlation_volume_pallas_batched(
     # index is an untiled leading dim
     q_cm = jnp.moveaxis(query.astype(jnp.float32), -1, 1)  # (B, C, H, W)
     m_cm = jnp.moveaxis(memory.astype(jnp.float32), -1, 1)
-    tile_h = _pick_tile_h(h, w, c, k2, pad)
+    tile_h = _pick_tile_h(h, w, c, k2, pad, budget_mb)
+    # Pad the row axis to a tile multiple (tile_h need not divide h); the
+    # extra rows are zeros and the output is sliced back to h below.
+    hpad = _round_up(h, tile_h)
+    if hpad != h:
+        q_cm = jnp.pad(q_cm, ((0, 0), (0, 0), (0, hpad - h), (0, 0)))
     # DMA-alignment padding (see _corr_tile_kernel): lane axis to a 128
     # multiple, rows so that every slab [i*TH, i*TH + slab) is in bounds
     slab = _round_up(tile_h + 2 * pad, 8)
     wpad = _round_up(w + 2 * pad, 128)
-    rows = (h // tile_h - 1) * tile_h + slab
+    rows = (hpad // tile_h - 1) * tile_h + slab
     m_cm = jnp.pad(
         m_cm,
         ((0, 0), (0, 0), (pad, max(rows - h - pad, pad)), (pad, wpad - w - pad)),
@@ -119,8 +128,8 @@ def local_correlation_volume_pallas_batched(
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, k2, h, w), jnp.float32),
-        grid=(b, h // tile_h),
+        out_shape=jax.ShapeDtypeStruct((b, k2, hpad, w), jnp.float32),
+        grid=(b, hpad // tile_h),
         in_specs=[
             pl.BlockSpec(
                 (1, c, tile_h, w), lambda bb, ii: (bb, 0, ii, 0),
@@ -138,6 +147,8 @@ def local_correlation_volume_pallas_batched(
         ],
         interpret=interpret,
     )(q_cm, m_cm)
+    if hpad != h:
+        out = out[:, :, :h, :]
     return jnp.moveaxis(out, 1, -1)
 
 

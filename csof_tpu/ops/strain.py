@@ -87,6 +87,48 @@ def strain_curves(label_seq: jnp.ndarray) -> dict[str, jnp.ndarray]:
     return {"rv": rv_s, "lv": (endo_s + epi_s) / 2.0}
 
 
+def _mean_nn_distance(a_pts: jnp.ndarray, b_pts: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric mean nearest-neighbour distance between two (P, 2) /
+    (Q, 2) point sets (tile-padded sets are fine: duplicated points only
+    reweight, and nearest-neighbour mins are duplicate-invariant for the
+    uniformly-subsampled contours `extract_contour_points` emits)."""
+    d2 = jnp.sum((a_pts[:, None, :] - b_pts[None, :, :]) ** 2, axis=-1)
+    ab = jnp.mean(jnp.sqrt(jnp.min(d2, axis=1)))
+    ba = jnp.mean(jnp.sqrt(jnp.min(d2, axis=0)))
+    return (ab + ba) / 2.0
+
+
+def myocardial_thickness(label_frame: np.ndarray, max_points: int = 256) -> float:
+    """Mean LV wall thickness of one (H, W) label frame: symmetric mean
+    nearest distance between the endocardial contour (border of label-3
+    region) and the epicardial contour (border of label 2 ∪ 3). Contour
+    extraction is host-side (data-dependent point counts); the pairwise
+    distance reduction runs on device over fixed-size point sets."""
+    endo = extract_contour_points(np.asarray(label_frame) == 3, max_points)
+    epi = extract_contour_points(
+        (np.asarray(label_frame) == 2) | (np.asarray(label_frame) == 3), max_points
+    )
+    if not endo.any() or not epi.any():
+        return float("nan")
+    return float(_mean_nn_distance(jnp.asarray(endo), jnp.asarray(epi)))
+
+
+def radial_strain_curve(label_seq: np.ndarray, max_points: int = 256) -> np.ndarray:
+    """LV radial strain from a (T, H, W) label sequence: relative change of
+    mean myocardial wall thickness vs frame 0, in percent.
+
+    The reference's radial LV strain curves (`Sradial_LV_curve`,
+    ref: compute_strain_curve_metric.py:30-31, compute_stats_strain.py:26-28)
+    are produced by the Medis clinical package and only *read* from .mat —
+    the repo had no mask-based radial implementation. This is the standard
+    wall-thickening definition: radial_t = (th_t - th_0) / th_0 * 100, where
+    th is the endo↔epi mean contour distance. Positive during systole
+    (wall thickens as the cavity contracts), like Medis radial strain."""
+    th = np.array([myocardial_thickness(f, max_points) for f in np.asarray(label_seq)])
+    eps = 1e-8
+    return (th - th[0]) / (th[0] + eps) * 100.0
+
+
 def track_contour(points0: jnp.ndarray, flows: jnp.ndarray) -> jnp.ndarray:
     """Track contour points through a sequence of accumulated backward flows.
 

@@ -660,11 +660,19 @@ class Trainer:
             "train_losses": self.history.train_losses[-5:],
             "val_losses": self.history.val_losses[-5:],
         }
-        ckpt.save_checkpoint(self.output_folder, self.state, name=name, meta=meta)
+        if os.environ.get("CSOF_CKPT_BACKEND", "").lower() == "orbax":
+            ckpt.save_checkpoint_orbax(self.output_folder, self.state, name=name, meta=meta)
+        else:
+            ckpt.save_checkpoint(self.output_folder, self.state, name=name, meta=meta)
 
     def load_checkpoint(self, name: str | None = None):
         assert self.state is not None, "initialize() first"
-        self.state, meta = ckpt.load_checkpoint(self.output_folder, jax.device_get(self.state), name)
+        if os.environ.get("CSOF_CKPT_BACKEND", "").lower() == "orbax":
+            self.state, meta = ckpt.load_checkpoint_orbax(
+                self.output_folder, jax.device_get(self.state), name
+            )
+        else:
+            self.state, meta = ckpt.load_checkpoint(self.output_folder, jax.device_get(self.state), name)
         self.state = jax.device_put(self.state, replicated(self.mesh))
         self.epoch = int(meta.get("epoch", 0))
         return meta

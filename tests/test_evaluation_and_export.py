@@ -10,6 +10,7 @@ from csof_tpu.evaluation.metrics import (
     hausdorff_distance,
     hausdorff_distance_95,
     jaccard,
+    normalized_surface_dice,
     ssim,
 )
 from csof_tpu.evaluation.postprocessing import (
@@ -41,6 +42,67 @@ def test_hausdorff_translated_squares():
     assert 0 < avg_symmetric_surface_distance(a, b) <= 4.0
     # spacing scales distances
     assert hausdorff_distance(a, b, spacing=(1.0, 2.0)) == pytest.approx(8.0)
+
+
+def _brute_force_nsd(a, b, threshold, spacing=None):
+    """Independent NSD oracle: surfaces via erosion, distances via explicit
+    pairwise mins over spacing-scaled surface coordinates (no EDT)."""
+    from scipy.ndimage import binary_erosion, generate_binary_structure
+
+    spacing = np.asarray(spacing if spacing is not None else (1.0,) * a.ndim)
+    conn = generate_binary_structure(a.ndim, 1)
+
+    def surf(m):
+        return np.argwhere(m & ~binary_erosion(m, conn, border_value=0)) * spacing
+
+    sa, sb = surf(a.astype(bool)), surf(b.astype(bool))
+    d_ab = np.sqrt(((sa[:, None, :] - sb[None, :, :]) ** 2).sum(-1)).min(1)
+    d_ba = np.sqrt(((sb[:, None, :] - sa[None, :, :]) ** 2).sum(-1)).min(1)
+    tp_a = (d_ab <= threshold).mean()
+    tp_b = (d_ba <= threshold).mean()
+    fp = (d_ab > threshold).mean()
+    fn = (d_ba > threshold).mean()
+    return (tp_a + tp_b) / (tp_a + tp_b + fp + fn + 1e-8)
+
+
+def test_normalized_surface_dice_golden():
+    """ref: evaluation/surface_dice.py:20 (normalized_surface_dice) —
+    symmetric tolerance-banded surface overlap, threshold in mm."""
+    a = np.zeros((24, 24), np.uint8)
+    b = np.zeros((24, 24), np.uint8)
+    a[6:18, 6:18] = 1
+    b[8:20, 7:19] = 1
+    # identity -> 1; empty -> nan; monotone in threshold
+    assert normalized_surface_dice(a, a, 1.0) == pytest.approx(1.0)
+    assert np.isnan(normalized_surface_dice(a, np.zeros_like(a), 1.0))
+    vals = [normalized_surface_dice(a, b, t) for t in (0.5, 1.0, 2.0, 4.0)]
+    assert all(x <= y + 1e-12 for x, y in zip(vals, vals[1:]))
+    # matches the brute-force oracle, with and without anisotropic spacing
+    for t in (1.0, 2.0, 3.0):
+        for sp in (None, (1.5, 0.8)):
+            assert normalized_surface_dice(a, b, t, sp) == pytest.approx(
+                _brute_force_nsd(a, b, t, sp), abs=1e-6
+            )
+    # 3D with spacing (the cardiac use case: thick z slices)
+    a3 = np.zeros((6, 16, 16), np.uint8)
+    b3 = np.zeros((6, 16, 16), np.uint8)
+    a3[1:5, 4:12, 4:12] = 1
+    b3[1:5, 5:13, 4:12] = 1
+    sp3 = (5.0, 1.25, 1.25)
+    assert normalized_surface_dice(a3, b3, 2.0, sp3) == pytest.approx(
+        _brute_force_nsd(a3, b3, 2.0, sp3), abs=1e-6
+    )
+
+
+def test_evaluate_case_includes_nsd():
+    a = np.zeros((16, 16), np.uint8)
+    b = np.zeros((16, 16), np.uint8)
+    a[4:12, 4:12] = 1
+    b[5:13, 4:12] = 1
+    res = evaluate_case(a, b, labels=[1], spacing=(1.0, 1.0), nsd_thresholds=(1.0, 3.0))
+    assert "Normalized Surface Dice @1mm" in res["1"]
+    assert "Normalized Surface Dice @3mm" in res["1"]
+    assert res["1"]["Normalized Surface Dice @3mm"] >= res["1"]["Normalized Surface Dice @1mm"]
 
 
 def test_ssim_identical_and_noise():

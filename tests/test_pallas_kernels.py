@@ -47,6 +47,31 @@ def test_pallas_corr_batched_tiled_matches_reference():
         pc._pick_tile_h = orig
 
 
+def test_pallas_corr_non_dividing_tile_pads_rows():
+    """A tile_h that does not divide H must pad + slice, not silently leave
+    trailing rows unwritten (round-2 advisor finding): H=20 with a forced
+    tile of 8 previously truncated the grid to 2 slabs and left rows 16-19
+    as garbage."""
+    import jax
+
+    from csof_tpu.ops.pallas import corr as pc
+
+    rng = np.random.RandomState(7)
+    q = jnp.asarray(rng.rand(2, 20, 16, 8).astype(np.float32))
+    m = jnp.asarray(rng.rand(2, 20, 16, 8).astype(np.float32))
+    ref = jax.vmap(lambda a, b: local_correlation_volume(a, b, radius=2, stride=1))(q, m)
+    orig = pc._pick_tile_h
+    pc._pick_tile_h = lambda *a, **k: 8  # 20 % 8 != 0 -> exercises row padding
+    try:
+        out = pc.local_correlation_volume_pallas_batched(q, m, 2, 1, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    finally:
+        pc._pick_tile_h = orig
+    # the tile picker itself no longer requires divisibility: a tiny budget
+    # must still return a usable (small) tile, never one larger than H
+    assert pc._pick_tile_h(20, 16, 8, 25, 2, budget_mb=1e-9) <= 20
+
+
 def test_pallas_ncc_matches_reference():
     rng = np.random.RandomState(1)
     a = jnp.asarray(rng.rand(2, 24, 24, 1).astype(np.float32))
