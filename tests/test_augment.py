@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from csof_tpu.data.augment import (
     AugmentConfig,
@@ -23,7 +24,8 @@ def _blob(h=24, w=24):
 def test_identity_when_probs_zero():
     cfg = AugmentConfig(
         p_rotation=0, p_scale=0, p_mirror=0, p_noise=0, p_blur=0,
-        p_brightness=0, p_contrast=0, p_gamma=0,
+        p_brightness=0, p_contrast=0, p_gamma=0, p_lowres=0,
+        p_inverted_gamma=0, p_rician=0, p_gibbs=0, p_sharpen=0, p_translate=0,
     )
     img, seg = _blob()
     out_img, out_seg = augment_sample_2d(jax.random.PRNGKey(0), img, seg, cfg)
@@ -48,6 +50,95 @@ def test_batch_augment_varies_per_sample():
     out = np.asarray(out)
     # different per-sample keys -> different transforms
     assert not np.allclose(out[0], out[1])
+
+
+def test_simulate_low_resolution_loses_high_freq():
+    """moreDA:152 SimulateLowResolutionTransform: nearest-down + cubic-up
+    must suppress high-frequency content while keeping shape/dtype."""
+    from csof_tpu.data.augment import simulate_low_resolution
+
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(32, 32, 1).astype(np.float32))
+    out = simulate_low_resolution(
+        jax.random.PRNGKey(1), img, zoom_range=(0.5, 0.5), p_per_channel=1.0, levels=1
+    )
+    assert out.shape == img.shape
+    # total variation (a high-frequency proxy) drops after down-up sampling
+    def tv(x):
+        return float(jnp.abs(jnp.diff(x[..., 0], axis=0)).sum() + jnp.abs(jnp.diff(x[..., 0], axis=1)).sum())
+    assert tv(out) < tv(img)
+    # p_per_channel=0 -> untouched
+    out0 = simulate_low_resolution(jax.random.PRNGKey(1), img, p_per_channel=0.0)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(img))
+
+
+def test_gamma_transform_retain_stats_and_invert():
+    from csof_tpu.data.augment import gamma_transform
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.randn(24, 24, 1).astype(np.float32))
+    out = gamma_transform(jax.random.PRNGKey(0), img, (0.7, 1.5), invert=False, retain_stats=True)
+    # retain_stats restores mean/std (moreDA gamma_retain_stats=True)
+    assert float(jnp.mean(out)) == pytest.approx(float(jnp.mean(img)), abs=1e-3)
+    assert float(jnp.std(out)) == pytest.approx(float(jnp.std(img)), abs=1e-3)
+    assert not np.allclose(np.asarray(out), np.asarray(img))
+    # inverted gamma differs from plain gamma on an asymmetric image
+    out_inv = gamma_transform(jax.random.PRNGKey(0), img, (0.7, 1.5), invert=True, retain_stats=True)
+    assert not np.allclose(np.asarray(out_inv), np.asarray(out))
+
+
+def test_rician_gibbs_sharpen():
+    from csof_tpu.data.augment import gaussian_sharpen, gibbs_artifact, rician_noise
+
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(32, 32, 1).astype(np.float32))
+    ric = rician_noise(jax.random.PRNGKey(0), img, std=0.075)
+    assert ric.shape == img.shape and not np.allclose(np.asarray(ric), np.asarray(img))
+
+    gib = gibbs_artifact(jax.random.PRNGKey(1), img, (0.6, 0.6))
+    assert gib.shape == img.shape
+    # k-space low-pass: high-frequency energy strictly drops
+    hf = lambda x: float(np.abs(np.diff(np.asarray(x)[..., 0], axis=1)).mean())
+    assert hf(gib) < hf(img)
+    # stronger alpha -> smoother
+    gib_strong = gibbs_artifact(jax.random.PRNGKey(1), img, (0.75, 0.75))
+    assert hf(gib_strong) < hf(gib)
+
+    smooth = jnp.asarray(np.outer(np.hanning(32), np.hanning(32)).astype(np.float32))[..., None]
+    sharp = gaussian_sharpen(jax.random.PRNGKey(2), smooth)
+    assert sharp.shape == smooth.shape
+    # unsharp masking amplifies local contrast
+    assert float(jnp.max(sharp) - jnp.min(sharp)) > float(jnp.max(smooth) - jnp.min(smooth)) * 0.99
+
+
+def test_translate_affine_moves_content():
+    cfg = AugmentConfig(
+        p_rotation=0, p_scale=0, p_mirror=0, p_noise=0, p_blur=0,
+        p_brightness=0, p_contrast=0, p_gamma=0, p_lowres=0,
+        p_inverted_gamma=0, p_translate=1.0, translate_range=6.0,
+    )
+    img, seg = _blob()
+    moved = False
+    for i in range(5):
+        out_img, out_seg = augment_sample_2d(jax.random.PRNGKey(i), img, seg, cfg)
+        assert set(np.unique(np.asarray(out_seg))) <= {0, 2}
+        if not np.allclose(np.asarray(out_img), np.asarray(img), atol=1e-5):
+            moved = True
+    assert moved
+
+
+def test_video_augment_config_envelope():
+    from csof_tpu.data.augment import video_augment_config
+
+    cfg = video_augment_config()
+    assert cfg.p_rician == 0.5 and cfg.p_gibbs == 0.5 and cfg.p_sharpen == 0.5
+    assert cfg.p_translate == 0.5 and cfg.translate_range == 26.0
+    # video default path runs (MRI pixel set live)
+    img, seg = _blob()
+    video = jnp.stack([img, img])
+    segs = jnp.stack([seg, seg])
+    v_out, s_out = augment_video(jax.random.PRNGKey(0), video, segs, cfg)
+    assert v_out.shape == video.shape and s_out.shape == segs.shape
 
 
 def test_video_consistent_across_frames():
