@@ -60,6 +60,20 @@ class FlowPredictor:
             self._jitted[key] = jax.jit(run)
         return self._jitted[key]
 
+    def _sequence_roi_mask(self, video: np.ndarray, max_planes: int = 32) -> np.ndarray:
+        """Union heart mask over (frame, slice) planes sampled evenly across
+        the whole sequence (all planes when there are ≤ max_planes; the cap
+        bounds cropping-network forwards on long cines)."""
+        t, d = video.shape[:2]
+        planes = [(ti, zi) for ti in range(t) for zi in range(d)]
+        if len(planes) > max_planes:
+            sel = np.linspace(0, len(planes) - 1, max_planes).astype(int)
+            planes = [planes[i] for i in sel]
+        mask = np.zeros(video.shape[-2:], bool)
+        for ti, zi in planes:
+            mask |= np.asarray(self.processor.get_mask(video[ti, zi]), bool)
+        return mask
+
     def predict_video(self, video: np.ndarray, roi_mask: np.ndarray | None = None) -> dict:
         """video: (T, D, H, W) full cine volume (already spacing-resampled).
 
@@ -69,11 +83,15 @@ class FlowPredictor:
         t, d, h, w = video.shape
         cs = self.crop_size
 
-        # one ROI window per volume, from the middle depth slice at frame 0
-        # (ref Processor usage: a shared heart window per sequence)
-        mid = d // 2
-        mask = roi_mask if roi_mask is not None else None
-        _, record = self.processor.crop(video[0, mid], mask=mask)
+        # one ROI window per volume, derived from masks across the WHOLE
+        # sequence (union over frames x slices) so the window covers the
+        # heart at every phase and depth — the reference computes its fixed
+        # window from masks over the sequence, not a single plane
+        # (ref: processor.py:38 get_fixed_info + :53 get_translation over
+        # the full video). A frame-0/mid-slice window drifts off the heart
+        # on apical/basal slices with strong motion.
+        mask = roi_mask if roi_mask is not None else self._sequence_roi_mask(video)
+        _, record = self.processor.crop(video[0, d // 2], mask=mask)
 
         # crop all (T, D) planes with the same window
         y0, x0 = record["y0"], record["x0"]

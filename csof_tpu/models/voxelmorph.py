@@ -25,45 +25,56 @@ from csof_tpu.ops.warp import warp_image
 
 
 class VxmUNet(nn.Module):
+    """Rank-polymorphic flow U-Net: the spatial rank is inferred from the
+    input (2D (N, H, W, C) or 3D (N, D, H, W, C)), covering both the
+    reference's 2D decoders and its 3D variants (`Decoder3D`/`FlowDecoder3D`,
+    ref: nnunet/lib/decoder_alt.py:1284, 2203) with one module."""
+
     cfg: VoxelMorphModelConfig
 
     @nn.compact
     def __call__(self, x):
-        """x: (N, H, W, C) concatenated [moving, fixed] -> (N, H, W, features)."""
+        """x: (N, *spatial, C) concatenated [moving, fixed] -> (N, *spatial, F)."""
+        ndim = x.ndim - 2
+        assert ndim in (2, 3), f"expected (N, *spatial, C) with 2 or 3 spatial dims, got rank {x.ndim}"
+        k, s = (3,) * ndim, (2,) * ndim
         dtype = jnp.dtype(self.cfg.dtype)
         act = lambda v: nn.leaky_relu(v, 0.2)
         skips = []
         for i, f in enumerate(self.cfg.enc_features):
             x = act(
-                nn.Conv(f, (3, 3), strides=(2, 2) if i > 0 else (1, 1), padding="SAME", dtype=dtype)(x)
+                nn.Conv(f, k, strides=s if i > 0 else (1,) * ndim, padding="SAME", dtype=dtype)(x)
             )
             skips.append(x)
         dec = self.cfg.dec_features
         n_up = len(self.cfg.enc_features) - 1
         for i in range(n_up):
-            x = act(nn.Conv(dec[i], (3, 3), padding="SAME", dtype=dtype)(x))
-            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = act(nn.Conv(dec[i], k, padding="SAME", dtype=dtype)(x))
+            for ax in range(1, ndim + 1):
+                x = jnp.repeat(x, 2, axis=ax)
             x = jnp.concatenate([x, skips[n_up - 1 - i]], axis=-1)
         for f in dec[n_up:]:
-            x = act(nn.Conv(f, (3, 3), padding="SAME", dtype=dtype)(x))
+            x = act(nn.Conv(f, k, padding="SAME", dtype=dtype)(x))
         return x
 
 
 class VoxelMorph(nn.Module):
     """Pairwise registration: (moving, fixed) -> dict with flow (+ optional
-    velocity) and the registered moving image."""
+    velocity) and the registered moving image. Works on 2D and 3D volumes
+    (the flow head emits `ndim` components)."""
 
     cfg: VoxelMorphModelConfig = VoxelMorphModelConfig()
 
     @nn.compact
     def __call__(self, moving: jnp.ndarray, fixed: jnp.ndarray):
-        """moving/fixed: (N, H, W, C)."""
+        """moving/fixed: (N, *spatial, C) with 2 or 3 spatial dims."""
+        ndim = moving.ndim - 2
         x = jnp.concatenate([moving, fixed], axis=-1)
         feat = VxmUNet(self.cfg)(x)
         # flow head with small init so the initial field is near-zero
         field = nn.Conv(
-            2,
-            (3, 3),
+            ndim,
+            (3,) * ndim,
             padding="SAME",
             kernel_init=nn.initializers.normal(1e-5),
             bias_init=nn.initializers.zeros,

@@ -45,8 +45,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a pytree of host arrays with the leading axis sharded over
     `data` (per-rank batch splitting of ref: nnUNetTrainerV2_DDP.py:74-116,
-    done by the runtime instead of hand arithmetic)."""
+    done by the runtime instead of hand arithmetic).
+
+    Multi-process (pod) path: each process passes its LOCAL batch shard and
+    `jax.make_array_from_process_local_data` assembles the global array —
+    the per-rank data split the reference does by slicing indices, done by
+    the runtime instead."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

@@ -319,8 +319,9 @@ class Trainer:
     def initialize(self, example_batch: dict):
         # the global batch must divide the data axis; clamp the mesh to the
         # largest compatible divisor (the reference's DDP splits batch per
-        # rank with the same constraint, ref: nnUNetTrainerV2_DDP.py:74-116)
-        batch_dim = int(jax.tree.leaves(example_batch)[0].shape[0])
+        # rank with the same constraint, ref: nnUNetTrainerV2_DDP.py:74-116).
+        # Multi-process: example_batch is the LOCAL shard, global = local * P.
+        batch_dim = int(jax.tree.leaves(example_batch)[0].shape[0]) * jax.process_count()
         data_size = self.mesh.shape["data"]
         if batch_dim % data_size != 0:
             from csof_tpu.parallel.mesh import make_mesh
@@ -401,6 +402,11 @@ class Trainer:
         self._autotune_pending = max(
             1, int(os.environ.get("CSOF_AUTOTUNE_DRAWS", "1"))
         )
+        if jax.process_count() > 1:
+            # draw-picking is per-process timing; divergent picks would pair
+            # different executables across ranks of the same collective —
+            # multi-process runs keep the deterministic draw-0 binary
+            self._autotune_pending = 1
         return self
 
     def _autotune(self, batch: dict):
@@ -447,8 +453,21 @@ class Trainer:
     #: commented out, ref: SegFlowGaussian.py:2163-2172)
     nan_guard: bool = True
 
+    @property
+    def is_main_process(self) -> bool:
+        """Rank-0 IO gating (ref: nnUNetTrainerV2_DDP.py:118-128 — only
+        rank 0 writes checkpoints/logs on a multi-process run)."""
+        return jax.process_index() == 0
+
     def run_iteration(self, batch: dict, train: bool = True):
-        batch = jax.tree.map(jnp.asarray, batch)
+        if jax.process_count() > 1:
+            # each process feeds its local shard; the runtime assembles the
+            # global batch over the pod mesh (parallel/mesh.py shard_batch)
+            from csof_tpu.parallel.mesh import shard_batch
+
+            batch = shard_batch(batch, self.mesh)
+        else:
+            batch = jax.tree.map(jnp.asarray, batch)
         if train:
             if getattr(self, "_autotune_pending", 1) > 1:
                 self._autotune(batch)
@@ -509,15 +528,18 @@ class Trainer:
         from csof_tpu.utils.logging import TrainingLog, plot_progress
 
         if log_fn is None:
-            log_fn = TrainingLog(self.output_folder)
+            # non-main processes log to stdout only (rank-0 file IO,
+            # ref: nnUNetTrainerV2_DDP.py:118-128)
+            log_fn = TrainingLog(self.output_folder) if self.is_main_process else print
         # observability parity: debug.json + architecture printout are
         # written at training start (ref: nnUNetTrainer.py:465 run_training)
         try:
-            self.save_debug_information()
+            if self.is_main_process:
+                self.save_debug_information()
         except Exception:
             pass  # debug dumps must never kill training
         tb = None
-        if tensorboard:
+        if tensorboard and self.is_main_process:
             from csof_tpu.utils.visualization import TensorBoardVisualizer
 
             tb = TensorBoardVisualizer(self.output_folder / "tb")
@@ -595,12 +617,13 @@ class Trainer:
                     scalars["metric/fg_dice"] = self.history.eval_metrics[-1]
                 tb.log_scalars(scalars, self.epoch)
             try:
-                plot_progress(
-                    self.output_folder,
-                    self.history.train_losses,
-                    self.history.val_losses,
-                    self.history.eval_metrics,
-                )
+                if self.is_main_process:
+                    plot_progress(
+                        self.output_folder,
+                        self.history.train_losses,
+                        self.history.val_losses,
+                        self.history.eval_metrics,
+                    )
             except Exception:
                 pass  # plotting must never kill training (ref retry spirit)
             if self.epoch - best_epoch > self.patience:
@@ -654,6 +677,8 @@ class Trainer:
     # -- checkpointing ------------------------------------------------------
 
     def save_checkpoint(self, name: str = ckpt.LATEST):
+        if not self.is_main_process:
+            return  # rank-0-only checkpointing (ref: nnUNetTrainerV2_DDP.py:118)
         meta = {
             "epoch": self.epoch,
             "config_model": self.config.model,

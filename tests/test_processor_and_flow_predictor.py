@@ -84,3 +84,33 @@ def test_flow_predictor_full_cine(tiny_segflow_apply, tmp_path):
     assert (tmp_path / "Segmentation" / "patient001.nii.gz").exists()
     flow = np.load(tmp_path / "Flow" / "patient001.npz")["flow"]
     assert flow.shape == (2, 3, 2, 24, 24)
+
+
+def test_sequence_roi_covers_moving_heart():
+    """The ROI window must come from masks over the WHOLE sequence
+    (ref: processor.py:38 get_fixed_info), not frame 0's middle slice: a
+    bright blob drifting across frames stays inside the union-mask window
+    at every phase, while the frame-0-only window clips the extremes."""
+    t, d, h, w = 6, 3, 64, 64
+    video = np.zeros((t, d, h, w), np.float32)
+    centers = np.linspace(20, 40, t).astype(int)  # apical-style drift (fits the crop)
+    for ti, cy in enumerate(centers):
+        for zi in range(d):
+            video[ti, zi, cy - 4 : cy + 4, 28:36] = 1.0
+
+    pred = FlowPredictor.__new__(FlowPredictor)  # only need the ROI logic
+    pred.processor = Processor(crop_size=32)
+    pred.crop_size = 32
+    union = pred._sequence_roi_mask(video)
+    # union mask sees the blob at every phase
+    for cy in centers:
+        assert union[cy, 31]
+    _, rec = pred.processor.crop(video[0, d // 2], mask=union)
+    y0 = rec["y0"]
+    assert y0 <= centers.min() - 4 + 1 and centers.max() + 4 <= y0 + 32 + 1, (
+        f"window [{y0}, {y0+32}) misses blob range [{centers.min()-4}, {centers.max()+4})"
+    )
+    # the old single-plane window demonstrably clips the far extreme
+    mask0 = pred.processor.get_mask(video[0, d // 2])
+    _, rec0 = pred.processor.crop(video[0, d // 2], mask=mask0)
+    assert centers.max() + 4 > rec0["y0"] + 32

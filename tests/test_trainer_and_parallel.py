@@ -134,3 +134,35 @@ def test_segflow_trainer_step(tmp_path):
     loss, aux = tr.run_iteration(next(it))
     assert np.isfinite(loss)
     assert "ncc" in aux and np.isfinite(float(aux["ncc"]))
+
+
+def test_voxelmorph_3d_trainer_step(tmp_path):
+    """3D registration through the full Trainer (jit-sharded step): the
+    voxelmorph path is rank-polymorphic, so (B, D, H, W, C) batches train
+    directly (ref 3D flow decoders: lib/decoder_alt.py:1284, 2203)."""
+    from csof_tpu.config.experiment import VoxelMorphModelConfig
+
+    cfg = ExperimentConfig(
+        model="voxelmorph",
+        max_num_epochs=1,
+        num_batches_per_epoch=2,
+        num_val_batches_per_epoch=1,
+        voxelmorph=VoxelMorphModelConfig(
+            enc_features=(4, 8, 8), dec_features=(8, 8, 4, 4),
+            diffeomorphic=True, int_steps=4, dtype="float32",
+        ),
+        data=DataConfig(batch_size=2),
+    )
+
+    def batches():
+        rng = np.random.RandomState(0)
+        while True:
+            moving = rng.rand(2, 8, 16, 16, 1).astype(np.float32)
+            fixed = rng.rand(2, 8, 16, 16, 1).astype(np.float32)
+            yield {"moving": moving, "fixed": fixed}
+
+    it = batches()
+    tr = Trainer(cfg, tmp_path, num_classes=4, example_batch=next(it))
+    loss, aux = tr.run_iteration(next(it))
+    assert np.isfinite(loss)
+    assert np.isfinite(float(aux["ncc"])) and np.isfinite(float(aux["smooth"]))

@@ -24,7 +24,7 @@ ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
 
 
 def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
-         loss_kind="dice_ce", remat_levels=None):
+         loss_kind="dice_ce", remat_levels=None, remat=True):
     import jax
     import jax.numpy as jnp
     import optax
@@ -40,7 +40,7 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
         num_classes=3, base_num_features=32, pool_kernel_sizes=pools,
         conv_kernel_sizes=kernels, deep_supervision=ds,
         dtype=jnp.dtype(dtype),
-        remat=not fwd_only,  # stored activations of the grad program are 62 GB without it
+        remat=remat and not fwd_only,  # stored activations of the b2 f32-norm grad program were 62 GB
         remat_levels=remat_levels,
     )
     rng = np.random.RandomState(0)
@@ -101,7 +101,8 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
         + (f"_draw{draw}" if draw else "")
         + ("" if ds else "_nods")
         + ("" if loss_kind == "dice_ce" else f"_{loss_kind}")
-        + ("" if remat_levels is None else f"_remat{remat_levels}"),
+        + ("" if remat_levels is None else f"_remat{remat_levels}")
+        + ("" if remat else "_noremat"),
         "sec_per_iter": round(sec_per_iter, 3),
         "epoch_sec_v5e": round(epoch_sec, 1),
         "ref_epoch_sec_a100": REF_EPOCH_A100,
@@ -129,6 +130,8 @@ if __name__ == "__main__":
             kw["draw"] = int(a[4:])
         elif a.startswith("rl"):
             kw["remat_levels"] = int(a[2:])
+        elif a == "noremat":
+            kw["remat"] = False
         else:
             kw["batch"] = int(a)
     main(**kw)
