@@ -107,8 +107,11 @@ class FlowPredictor:
         videos = jnp.asarray(np.moveaxis(norm, 1, 0)[..., None], jnp.float32)  # (D, T, cs, cs, 1)
         probs, flow, registered = self._get_jitted((d, t, cs))(videos)
         probs = np.moveaxis(np.asarray(probs), 0, 1)  # (T, D, cs, cs, C)
-        flow = np.moveaxis(np.asarray(flow), 0, 1)  # (T, D, cs, cs, 2)
-        registered = np.moveaxis(np.asarray(registered)[..., 0], 0, 1)  # (T, D, cs, cs)
+        # the model emits channel-major flow (D, T, 2, cs, cs) and (D, T,
+        # cs, cs) registered (models/segflow.py layout convention); convert
+        # to the channels-last host API here, on numpy
+        flow = np.moveaxis(np.moveaxis(np.asarray(flow), 2, -1), 0, 1)  # (T, D, cs, cs, 2)
+        registered = np.moveaxis(np.asarray(registered), 0, 1)  # (T, D, cs, cs)
 
         # uncrop back to full FOV
         def uncrop(arr, fill=0.0):

@@ -37,7 +37,7 @@ from csof_tpu.models.attention import CrossAttentionLayer
 from csof_tpu.models.blocks import ConvNormAct, upsample_linear
 from csof_tpu.models.convgru import ConvGRUCell
 from csof_tpu.ops.correlation import local_correlation_volume
-from csof_tpu.ops.warp import warp_image
+from csof_tpu.ops.warp import warp_image_cm
 
 
 class Encoder(nn.Module):
@@ -120,12 +120,16 @@ class SegFlowStep(nn.Module):
         frame, t_idx, dist = inputs
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
+        # cum_flow rides the carry CHANNEL-MAJOR (2, H, W): a channels-last
+        # (H, W, 2) buffer is lane-padded 2->128 by the TPU compiler (64x
+        # memory), and the scan saves one per step for the backward pass —
+        # the measured cause of the b=8 training OOM (docs/BENCHMARKS.md)
         hidden, cum_flow, prev_bottleneck, x0, prev_frame = carry
 
-        registered = warp_image(frame, cum_flow, padding="border")
+        registered = warp_image_cm(frame, cum_flow, padding="border")
         error = registered - x0
         memory_in = jnp.concatenate(
-            [x0, prev_frame, cum_flow, error, registered], axis=-1
+            [x0, prev_frame, jnp.moveaxis(cum_flow, 0, -1), error, registered], axis=-1
         )  # 6 channels (ref: SegFlowGaussian.py:1343)
 
         q_skips = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="query_encoder")(
@@ -212,20 +216,22 @@ class SegFlowStep(nn.Module):
 
         # frame 0 anchors the sequence: its flow step is identity
         gate = (t_idx > 0).astype(dflow.dtype)
-        dflow = dflow * gate
+        # to channel-major before anything is stored (see carry comment)
+        dflow = jnp.moveaxis(dflow, -1, 0) * gate  # (2, H, W)
         cum_flow = cum_flow + dflow  # cumulative backward flow (ref :1419)
         new_carry = (hidden, cum_flow, cur, x0, frame)
         out = {
             "flow": dflow,
             "cum_flow": cum_flow,
             "seg_logits": seg_logits,
-            "registered": warp_image(frame, cum_flow, padding="border"),
+            # (H, W): a trailing 1-channel axis would be lane-padded 128x
+            "registered": warp_image_cm(frame, cum_flow, padding="border")[..., 0],
         }
         if cfg.deep_supervision:
             # auxiliary full-res heads per decoder scale, finest-first
             # (weights 1/2^i applied in the loss; ref trainer
             # SegFlowGaussian.py:376-381 + MultipleOutputLoss2)
-            out["flow_ds"] = tuple(f * gate for f in flow_ds)
+            out["flow_ds"] = tuple(jnp.moveaxis(f, -1, 0) * gate for f in flow_ds)
             out["seg_ds"] = seg_ds
         return new_carry, out
 
@@ -235,7 +241,11 @@ class SegFlow(nn.Module):
 
     Input video: (T, H, W, 1). Outputs dict of stacked per-frame results for
     frames 1..T-1 plus the frame-0 segmentation.
-    """
+
+    Output layout convention (TPU memory, see SegFlowStep carry comment):
+    flow arrays are CHANNEL-MAJOR — "flow"/"cum_flow"/"flow_ds" are
+    (T, 2, H, W) and "registered" is (T, H, W). Channels-last conversion
+    happens at the host/numpy boundary (inference/flow_predictor.py)."""
 
     cfg: SegFlowModelConfig = SegFlowModelConfig()
     num_classes: int = 4
@@ -251,7 +261,7 @@ class SegFlow(nn.Module):
         x0 = video[0]
         hidden0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
         prev_b0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
-        carry0 = (hidden0, jnp.zeros((h, w, 2), jnp.float32), prev_b0, x0, x0)
+        carry0 = (hidden0, jnp.zeros((2, h, w), jnp.float32), prev_b0, x0, x0)
 
         # scan over ALL frames (frame 0 included with an identity flow step,
         # so every frame gets a segmentation from shared decoder params);

@@ -328,38 +328,44 @@ def _central_gradient(x: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def spatial_gradient_penalty(
-    flow: jnp.ndarray, order: int = 2, reduction: str = "mean"
+    flow: jnp.ndarray, order: int = 2, reduction: str = "mean",
+    channel_axis: int = -1,
 ) -> jnp.ndarray:
     """Mean squared spatial gradient of a dense flow field
     (ref: SpatialSmoothingLoss, lib/loss.py:80-128): central differences with
     replicate padding (kornia spatial_gradient3d 'diff' kernel = ±0.5),
     squared, averaged over the x and y derivative channels.
 
-    flow: (N, H, W, 2) or (N, D, H, W, 3); penalty over spatial axes only.
+    flow: (N, H, W, 2) / (N, D, H, W, 3), or channel-major (N, 2, H, W) with
+    channel_axis=1 (the TPU-friendly layout — see ops/warp.warp_image_cm);
+    penalty over the non-batch, non-channel (spatial) axes only.
     """
-    ndim = flow.ndim - 2
+    ch = channel_axis % flow.ndim
+    spatial_axes = [a for a in range(1, flow.ndim) if a != ch]
     total = 0.0
-    for ax in range(1, 1 + ndim):
+    for ax in spatial_axes:
         d = _central_gradient(flow, axis=ax)
         total = total + jnp.abs(d) ** order
-    m = jnp.mean(total / ndim, axis=-1)  # mean over flow channels
+    m = jnp.mean(total / len(spatial_axes), axis=ch)  # mean over flow channels
     if reduction == "none":
         return m  # (N, *spatial) per-pixel map (ref reduction=None path)
     return jnp.mean(m)
 
 
 def temporal_gradient_penalty(
-    flow_seq: jnp.ndarray, order: int = 2, reduction: str = "mean"
+    flow_seq: jnp.ndarray, order: int = 2, reduction: str = "mean",
+    channel_axis: int = -1,
 ) -> jnp.ndarray:
     """Mean squared temporal gradient over the frame axis
     (ref: TemporalSmoothingLoss, lib/loss.py:130-178): central difference
     along T with replicate padding, matching kornia spatial_gradient3d's
     z-derivative channel on a (B, C, T, H, W) arrangement.
 
-    flow_seq: (T, N, H, W, 2) — leading time axis.
+    flow_seq: (T, N, H, W, 2) — leading time axis; channel-major layouts
+    (e.g. (T, N, 2, H, W)) via channel_axis.
     """
     d = _central_gradient(flow_seq, axis=0)
-    m = jnp.mean(jnp.abs(d) ** order, axis=-1)  # mean over flow channels
+    m = jnp.mean(jnp.abs(d) ** order, axis=channel_axis)  # mean over flow channels
     if reduction == "none":
         return m  # (T, N, *spatial) per-pixel map (ref reduction=None path)
     return jnp.mean(m)

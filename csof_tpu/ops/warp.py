@@ -142,6 +142,21 @@ def warp_image(
     return grid_sample(image, grid, mode=mode, padding=padding)
 
 
+def warp_image_cm(
+    image: jnp.ndarray, flow_cm: jnp.ndarray, mode: str = "bilinear", padding: str = "zeros"
+) -> jnp.ndarray:
+    """Backward-warp with CHANNEL-MAJOR flow (ndim, *spatial).
+
+    TPU memory layout: a channels-last (*spatial, 2) flow puts 2 on the lane
+    (minor) axis, which the compiler pads to 128 — 64x the memory for every
+    materialized flow buffer (measured: the b=8 SegFlow OOM,
+    docs/BENCHMARKS.md). (2, H, W) keeps W on lanes / H on sublanes with no
+    padding; the transient channels-last view built here fuses into the
+    sampler's per-axis plane splits instead of being stored."""
+    flow = jnp.moveaxis(flow_cm, 0, -1)
+    return warp_image(image, flow, mode=mode, padding=padding)
+
+
 def warp_batch(images: jnp.ndarray, flows: jnp.ndarray, mode: str = "bilinear", padding: str = "zeros") -> jnp.ndarray:
     """vmap of :func:`warp_image` over a leading batch axis.
 

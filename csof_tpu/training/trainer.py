@@ -40,7 +40,7 @@ from csof_tpu.models.segflow import SegFlow
 from csof_tpu.models.unet import GenericUNet, unet_from_plans
 from csof_tpu.models.voxelmorph import VoxelMorph
 from csof_tpu.ops import losses as L
-from csof_tpu.ops.warp import warp_image
+from csof_tpu.ops.warp import warp_image_cm
 from csof_tpu.parallel.mesh import batch_sharding, global_batch_dice_stats, make_mesh, replicated
 from csof_tpu.training import checkpoint as ckpt
 from csof_tpu.training.schedules import build_optimizer
@@ -112,8 +112,11 @@ def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
         out = model.apply(params, video, distance)
         x0 = video[0]
         m0 = None if loss_mask is None else loss_mask[0]  # ED strain mask
-        # unsupervised registration: NCC(registered_t, x0) over t>=1
-        reg = out["registered"][1:]
+        # unsupervised registration: NCC(registered_t, x0) over t>=1.
+        # SegFlow emits "registered" as (T, H, W) and flows CHANNEL-MAJOR
+        # (T, 2, H, W) — see models/segflow.py layout convention (the
+        # channels-last (…, 2)/(…, 1) layouts lane-pad 64x/128x on TPU)
+        reg = out["registered"][1:, :, :, None]
         if m0 is None:
             ncc = L.ncc_loss(reg, jnp.broadcast_to(x0, reg.shape))
         else:
@@ -124,14 +127,17 @@ def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
         # identity anchor is not part of the regularized stack,
         # ref: SegFlowGaussian.py:1455-1460)
         if m0 is None:
-            smooth_xy = L.spatial_gradient_penalty(out["cum_flow"][1:])
-            smooth_t = L.temporal_gradient_penalty(out["cum_flow"][1:])
+            smooth_xy = L.spatial_gradient_penalty(out["cum_flow"][1:], channel_axis=1)
+            smooth_t = L.temporal_gradient_penalty(out["cum_flow"][1:], channel_axis=-3)
         else:
             smooth_xy = jnp.mean(
-                L.spatial_gradient_penalty(out["cum_flow"][1:], reduction="none") * m0[None]
+                L.spatial_gradient_penalty(out["cum_flow"][1:], reduction="none", channel_axis=1)
+                * m0[None]
             )
             smooth_t = jnp.mean(
-                L.temporal_gradient_penalty(out["cum_flow"][1:, None], reduction="none")
+                L.temporal_gradient_penalty(
+                    out["cum_flow"][1:, None], reduction="none", channel_axis=-3
+                )
                 * m0[None, None]
             )
         # supervised seg on labeled frames
@@ -153,9 +159,9 @@ def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
                 seg_dice += ws[i + 1] * L.soft_dice_loss(
                     seg_aux, jnp.clip(seg, 0), batch_dice=True, mask=m
                 )
-                cum_aux = jnp.cumsum(flow_aux, axis=0)
+                cum_aux = jnp.cumsum(flow_aux, axis=0)  # (T, 2, H, W) cm
                 reg_aux = jax.vmap(
-                    lambda f, fl: warp_image(f, fl, padding="border")
+                    lambda f, fl: warp_image_cm(f, fl, padding="border")
                 )(video, cum_aux)
                 ncc += ws[i + 1] * L.ncc_loss(
                     reg_aux[1:], jnp.broadcast_to(x0, reg_aux[1:].shape)
@@ -176,7 +182,7 @@ def make_segflow_loss(config: ExperimentConfig, model: SegFlow):
             # frames' labeled flags gates the term when either end lacks GT.
             nc = out["seg_logits"].shape[-1]
             oh_last = jax.nn.one_hot(jnp.clip(seg[-1], 0), nc, dtype=jnp.float32)
-            warped = warp_image(oh_last, out["cum_flow"][-1])
+            warped = warp_image_cm(oh_last, out["cum_flow"][-1])
             seg_reg = L.soft_dice_loss(
                 warped[None], jnp.clip(seg[0], 0)[None],
                 batch_dice=True, probs_input=True,

@@ -25,7 +25,7 @@ def test_segflow_sows_attention_and_similarity():
     video = jnp.asarray(np.random.RandomState(0).rand(3, 16, 16, 1).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), video)
     out, mut = model.apply(params, video, mutable=["intermediates"])
-    assert out["flow"].shape == (3, 16, 16, 2)
+    assert out["flow"].shape == (3, 2, 16, 16)  # channel-major convention
     leaves = {
         jax.tree_util.keystr(k): v
         for k, v in jax.tree_util.tree_leaves_with_path(mut["intermediates"])

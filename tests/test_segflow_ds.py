@@ -40,7 +40,7 @@ def test_segflow_ds_output_shapes():
     assert len(out["seg_ds"]) == 1
     assert len(out["flow_ds"]) == 1
     assert out["seg_ds"][0].shape == (3, 16, 16, 4)
-    assert out["flow_ds"][0].shape == (3, 16, 16, 2)
+    assert out["flow_ds"][0].shape == (3, 2, 16, 16)  # channel-major
     # frame-0 identity anchor applies to DS flows too
     np.testing.assert_allclose(np.asarray(out["flow_ds"][0][0]), 0.0, atol=0)
 

@@ -64,10 +64,12 @@ def test_segflow_forward_shapes():
     video = jnp.asarray(np.random.RandomState(0).rand(4, 16, 16, 1).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), video)
     out = model.apply(params, video)
-    assert out["flow"].shape == (4, 16, 16, 2)
-    assert out["cum_flow"].shape == (4, 16, 16, 2)
+    # flows are CHANNEL-MAJOR (T, 2, H, W) and registered has no channel
+    # axis — the TPU lane-padding-free layout (models/segflow.py convention)
+    assert out["flow"].shape == (4, 2, 16, 16)
+    assert out["cum_flow"].shape == (4, 2, 16, 16)
     assert out["seg_logits"].shape == (4, 16, 16, 4)
-    assert out["registered"].shape == (4, 16, 16, 1)
+    assert out["registered"].shape == (4, 16, 16)
     # frame 0 flow must be exactly zero (identity anchor)
     np.testing.assert_allclose(np.asarray(out["flow"][0]), 0.0, atol=0)
     assert np.isfinite(np.asarray(out["seg_logits"])).all()

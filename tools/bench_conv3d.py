@@ -1,0 +1,116 @@
+"""Isolate 3D-conv kernel throughput at Task002 3d_fullres geometry.
+
+The epoch benchmark (tools/bench_epoch.py) achieves ~17 TF/s on the whole
+train step vs the ~49 TF/s MXU ceiling for C_out=32 convs (output channels
+tile 32/128 lanes). This probe measures individual convs of the U-Net's
+full-res stages to find where between 17 and 49 the kernels actually land,
+and which reformulations help:
+
+  fwd          conv forward only
+  grad         value_and_grad of sum(conv(x)) wrt (x, w)  (input+weight grads)
+  z2d          the (1,3,3) conv recast as 2D conv with z folded into batch
+  wide         same spatial volume with C=128 (the occupancy control)
+  tconv        the decoder's stride-(1,2,2)/(2,2,2) ConvTranspose
+
+Usage: python tools/bench_conv3d.py [case ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+PATCH = (80, 192, 160)
+PEAK_BF16_TFLOPS = 197.0  # v5e
+
+
+def _time(fn, *args, reps=10):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps
+
+
+def conv_nd(x, w, strides=None):
+    import jax
+
+    nd = w.ndim - 2
+    return jax.lax.conv_general_dilated(
+        x, w, strides or (1,) * nd, "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp_dtype(x),
+    )
+
+
+def jnp_dtype(x):
+    import jax.numpy as jnp
+
+    return jnp.float32 if x.dtype == jnp.float32 else jnp.float32
+
+
+def run_case(name, x_shape, w_shape, strides=None, grad=False):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(*x_shape), jnp.bfloat16)
+    w = jnp.asarray(rng.rand(*w_shape) * 0.1, jnp.bfloat16)
+
+    if grad:
+        def f(x, w):
+            return jnp.sum(conv_nd(x, w, strides).astype(jnp.float32))
+
+        fn = jax.jit(jax.grad(f, argnums=(0, 1)))
+    else:
+        fn = jax.jit(lambda x, w: conv_nd(x, w, strides))
+    sec = _time(fn, x, w)
+    spatial = np.prod(x_shape[1:-1]) / np.prod(strides or (1,))
+    macs = spatial * x_shape[0] * np.prod(w_shape[:-2]) * w_shape[-2] * w_shape[-1]
+    flops = 2 * macs * (3 if grad else 1)  # grad ~ fwd + dx + dw
+    rec = {
+        "case": name, "ms": round(sec * 1e3, 3),
+        "tflops": round(flops / sec / 1e12, 1),
+        "mfu_pct": round(flops / sec / 1e12 / PEAK_BF16_TFLOPS * 100, 1),
+        "ceiling_pct_of_peak": round(min(w_shape[-1], 128) / 128 * 100, 1),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def main(cases):
+    d, h, w = PATCH
+    all_cases = {
+        # level-0 encoder: (1,3,3) kernels, C 32
+        "l0_133_c32_fwd": lambda: run_case("l0_133_c32_fwd", (1, d, h, w, 32), (1, 3, 3, 32, 32)),
+        "l0_133_c32_grad": lambda: run_case("l0_133_c32_grad", (1, d, h, w, 32), (1, 3, 3, 32, 32), grad=True),
+        # the same op as a 2D conv with z folded into batch
+        "l0_z2d_c32_fwd": lambda: run_case("l0_z2d_c32_fwd", (d, h, w, 32), (3, 3, 32, 32)),
+        "l0_z2d_c32_grad": lambda: run_case("l0_z2d_c32_grad", (d, h, w, 32), (3, 3, 32, 32), grad=True),
+        # level-0 decoder: full 3x3x3 at full res, C 32 (the big one)
+        "l0_333_c32_fwd": lambda: run_case("l0_333_c32_fwd", (1, d, h, w, 32), (3, 3, 3, 32, 32)),
+        "l0_333_c32_grad": lambda: run_case("l0_333_c32_grad", (1, d, h, w, 32), (3, 3, 3, 32, 32), grad=True),
+        "l0_333_c64to32_grad": lambda: run_case("l0_333_c64to32_grad", (1, d, h, w, 64), (3, 3, 3, 64, 32), grad=True),
+        # level-1: half res, C 64
+        "l1_333_c64_grad": lambda: run_case("l1_333_c64_grad", (1, d // 2, h // 2, w // 2, 64), (3, 3, 3, 64, 64), grad=True),
+        # occupancy control: same voxels, C 128 (full lane tile)
+        "l2_333_c128_grad": lambda: run_case("l2_333_c128_grad", (1, d // 2, h // 4, w // 4, 128), (3, 3, 3, 128, 128), grad=True),
+        # strided encoder downsample conv
+        "l01_down_grad": lambda: run_case("l01_down_grad", (1, d, h, w, 32), (3, 3, 3, 32, 64), strides=(1, 2, 2), grad=True),
+    }
+    for k in (cases or all_cases):
+        all_cases[k]()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
