@@ -74,6 +74,16 @@ class SegFlowModelConfig:
     corr_radius: tuple[int, ...] = (4, 4, 4)
     corr_stride: tuple[int, ...] = (2, 1, 1)
     use_cost_volume: bool = True
+    # how the (2r+1)^2-channel correlation joins the skip-fuse conv:
+    #   concat  — 3x3 conv over the raw (q ⊕ m ⊕ corr) concat (the
+    #             reference's shape; ref: SegFlowGaussian.py:1374-1386)
+    #   split   — EXACT same math as concat (conv is linear in channels),
+    #             computed as conv(q)+conv(m)+conv(corr) without
+    #             materializing the lane-padded 145/209/337-channel concat
+    #   project — corr is 1x1-projected to the skip width first, then
+    #             fused; factorizes the corr part of the conv (low-rank),
+    #             trading a little capacity for a much smaller fuse conv
+    corr_fuse: Literal["concat", "split", "project", "mean1"] = "concat"
     use_gru: bool = True
     # per-scale auxiliary decoder heads, weighted 1/2^i in the loss
     # (ref: video.yaml `deep_supervision`; decoder DS heads at

@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from csof_tpu.config.experiment import SegFlowModelConfig
 from csof_tpu.models.attention import CrossAttentionLayer
-from csof_tpu.models.blocks import ConvNormAct, upsample_linear
+from csof_tpu.models.blocks import ConvNormAct, leaky_relu, make_norm, upsample_linear
 from csof_tpu.models.convgru import ConvGRUCell
 from csof_tpu.ops.correlation import local_correlation_volume
 from csof_tpu.ops.warp import warp_image_cm
@@ -108,6 +108,63 @@ class Decoder(nn.Module):
         return head, x
 
 
+class SkipFuse(nn.Module):
+    """Fuse (query, memory, correlation) skips into one feature map.
+
+    Modes (cfg.corr_fuse):
+    - concat: 3x3 ConvNormAct over the raw channel concat — the reference's
+      shape (ref: SegFlowGaussian.py:1374-1386). The concat materializes a
+      (C_q + C_m + 81)-channel buffer whose odd widths (145/209/337) the
+      TPU pads to the next 128-lane multiple.
+    - split: mathematically IDENTICAL to concat (a conv is linear in its
+      input channels, so conv(q⊕m⊕corr) == conv_q(q)+conv_m(m)+conv_c(corr)
+      with the bias kept once), but never materializes the concat.
+    - project: a 1x1 conv takes corr (81 ch) to the skip width first —
+      a low-rank factorization of the corr part of the fuse conv. Cheaper,
+      slightly less expressive; capacity trade documented in
+      docs/BENCHMARKS.md.
+    - mean1: diagnostic — corr collapses to its channel mean (1 ch) so the
+      corr tensor is consumed but the fuse conv stays narrow; isolates the
+      correlation-kernel cost from the conv-width cost in ablations.
+    """
+
+    features: int
+    mode: str = "concat"
+    norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, m, corr):
+        if corr is None or self.mode == "concat":
+            parts = [q, m] + ([] if corr is None else [corr])
+            return ConvNormAct(self.features, (3, 3), norm=self.norm, dtype=self.dtype)(
+                jnp.concatenate(parts, axis=-1)
+            )
+        if self.mode == "split":
+            y = (
+                nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                        kernel_init=nn.initializers.he_normal(), name="conv_q")(q)
+                + nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                          dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
+                          name="conv_m")(m)
+                + nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
+                          dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
+                          name="conv_corr")(corr)
+            )
+            return leaky_relu(make_norm(self.norm)(y))
+        if self.mode == "project":
+            proj = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                           kernel_init=nn.initializers.he_normal(), name="corr_proj")(corr)
+            return ConvNormAct(self.features, (3, 3), norm=self.norm, dtype=self.dtype)(
+                jnp.concatenate([q, m, proj], axis=-1)
+            )
+        if self.mode == "mean1":
+            return ConvNormAct(self.features, (3, 3), norm=self.norm, dtype=self.dtype)(
+                jnp.concatenate([q, m, jnp.mean(corr, axis=-1, keepdims=True)], axis=-1)
+            )
+        raise ValueError(f"unknown corr_fuse mode {self.mode!r}")
+
+
 class SegFlowStep(nn.Module):
     """One temporal step: encode current frame + memory state, correlate,
     cross-attend, update GRU, decode flow + seg."""
@@ -144,6 +201,7 @@ class SegFlowStep(nn.Module):
         # per-scale local correlation fused into the query skips
         fused = []
         for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
+            corr = None
             if cfg.use_cost_volume:
                 corr = local_correlation_volume(
                     q.astype(jnp.float32),
@@ -151,12 +209,10 @@ class SegFlowStep(nn.Module):
                     radius=cfg.corr_radius[lvl],
                     stride=cfg.corr_stride[lvl],
                 ).astype(dtype)
-                cat = jnp.concatenate([q, m, corr], axis=-1)
-            else:
-                cat = jnp.concatenate([q, m], axis=-1)
             fused.append(
-                ConvNormAct(q.shape[-1], (3, 3), norm=cfg.norm, dtype=dtype,
-                            name=f"skip_fuse_{lvl}")(cat[None])[0]
+                SkipFuse(q.shape[-1], mode=cfg.corr_fuse, norm=cfg.norm, dtype=dtype,
+                         name=f"skip_fuse_{lvl}")(q[None], m[None],
+                                                  None if corr is None else corr[None])[0]
             )
             if cfg.use_cost_volume:
                 # similarity-map observability: best local correlation per

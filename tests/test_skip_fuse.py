@@ -1,0 +1,88 @@
+"""SkipFuse corr-fuse modes (round-3 perf work, VERDICT item 2).
+
+The reference fuses (query ⊕ memory ⊕ correlation) skips with one 3x3 conv
+over the raw channel concat (ref: nnunet/lib/models/SegFlowGaussian.py:1374-1386).
+On TPU the odd concat widths (C_q + C_m + 81) lane-pad to the next multiple
+of 128, inflating the fuse conv; `split` computes the IDENTICAL math as
+conv_q(q) + conv_m(m) + conv_corr(corr) without materializing the concat
+(a conv is linear in its input channels), and `project` low-rank-factorizes
+the corr contribution through a 1x1 conv first.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csof_tpu.config.experiment import SegFlowModelConfig
+from csof_tpu.models.segflow import SegFlow, SkipFuse
+
+
+def _inputs(cq=12, cm=12, cc=9, h=16, w=16):
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(1, h, w, cq).astype(np.float32))
+    m = jnp.asarray(rng.randn(1, h, w, cm).astype(np.float32))
+    corr = jnp.asarray(rng.randn(1, h, w, cc).astype(np.float32))
+    return q, m, corr
+
+
+def test_split_mode_exactly_matches_concat():
+    """conv(q⊕m⊕corr) == conv_q(q)+conv_m(m)+conv_corr(corr) when the split
+    kernels are the channel-slices of the concat kernel (linearity)."""
+    q, m, corr = _inputs()
+    cq, cm = q.shape[-1], m.shape[-1]
+
+    fuse_cat = SkipFuse(8, mode="concat")
+    fuse_spl = SkipFuse(8, mode="split")
+    p_cat = fuse_cat.init(jax.random.PRNGKey(0), q, m, corr)
+    p_spl = fuse_spl.init(jax.random.PRNGKey(1), q, m, corr)
+
+    # stitch: the concat conv kernel is (3, 3, cq+cm+cc, F); its channel
+    # slices are exactly the split kernels
+    k = p_cat["params"]["ConvNormAct_0"]["Conv_0"]["kernel"]
+    b = p_cat["params"]["ConvNormAct_0"]["Conv_0"]["bias"]
+    norm = p_cat["params"]["ConvNormAct_0"]["GroupNorm_0"]
+    p_spl = jax.tree_util.tree_map(lambda x: x, p_spl)  # copy
+    p_spl["params"]["conv_q"]["kernel"] = k[:, :, :cq]
+    p_spl["params"]["conv_q"]["bias"] = b
+    p_spl["params"]["conv_m"]["kernel"] = k[:, :, cq : cq + cm]
+    p_spl["params"]["conv_corr"]["kernel"] = k[:, :, cq + cm :]
+    p_spl["params"]["GroupNorm_0"] = norm
+
+    out_cat = fuse_cat.apply(p_cat, q, m, corr)
+    out_spl = fuse_spl.apply(p_spl, q, m, corr)
+    np.testing.assert_allclose(np.asarray(out_cat), np.asarray(out_spl), atol=2e-5)
+
+
+def test_project_and_mean1_shapes_and_grads():
+    q, m, corr = _inputs()
+    for mode in ("project", "mean1"):
+        fuse = SkipFuse(8, mode=mode)
+        params = fuse.init(jax.random.PRNGKey(0), q, m, corr)
+        out = fuse.apply(params, q, m, corr)
+        assert out.shape == (1, 16, 16, 8)
+        assert np.isfinite(np.asarray(out)).all()
+        g = jax.grad(lambda p: jnp.sum(fuse.apply(p, q, m, corr) ** 2))(params)
+        gnorm = sum(float(jnp.sum(jnp.abs(x))) for x in jax.tree_util.tree_leaves(g))
+        assert gnorm > 0
+
+
+def test_segflow_forward_all_modes():
+    """Full model runs with every corr_fuse mode; outputs keep their shapes."""
+    video = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 1).astype(np.float32))
+    for mode in ("concat", "split", "project", "mean1"):
+        cfg = SegFlowModelConfig(
+            out_encoder_dims=(4, 8, 16),
+            d_model=16,
+            bottleneck_heads=2,
+            dim_feedforward=32,
+            corr_radius=(1, 1, 1),
+            corr_stride=(1, 1, 1),
+            dtype="float32",
+            corr_fuse=mode,
+        )
+        model = SegFlow(cfg=cfg, num_classes=4)
+        params = model.init(jax.random.PRNGKey(0), video)
+        out = model.apply(params, video)
+        assert out["seg_logits"].shape == (2, 16, 16, 4)
+        assert out["cum_flow"].shape == (2, 2, 16, 16)
+        assert np.isfinite(np.asarray(out["seg_logits"])).all(), mode

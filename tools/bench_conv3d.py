@@ -30,15 +30,18 @@ PATCH = (80, 192, 160)
 PEAK_BF16_TFLOPS = 197.0  # v5e
 
 
-def _time(fn, *args, reps=10):
+def _time_state(step, state, reps=10):
+    """Time a state-threading step (state dependency serializes reps — the
+    only pattern this remote backend times honestly; independent identical
+    calls read as ~0)."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    state = step(*state)
+    jax.block_until_ready(state)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        state = step(*state)
+    jax.block_until_ready(state)
     return (time.perf_counter() - t0) / reps
 
 
@@ -49,14 +52,10 @@ def conv_nd(x, w, strides=None):
     return jax.lax.conv_general_dilated(
         x, w, strides or (1,) * nd, "SAME",
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC") if nd == 3 else ("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp_dtype(x),
     )
 
 
-def jnp_dtype(x):
-    import jax.numpy as jnp
-
-    return jnp.float32 if x.dtype == jnp.float32 else jnp.float32
+CHAIN = 8  # sequential convs per timed call (data-dependent, can't overlap)
 
 
 def run_case(name, x_shape, w_shape, strides=None, grad=False):
@@ -67,14 +66,35 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
     x = jnp.asarray(rng.rand(*x_shape), jnp.bfloat16)
     w = jnp.asarray(rng.rand(*w_shape) * 0.1, jnp.bfloat16)
 
-    if grad:
-        def f(x, w):
-            return jnp.sum(conv_nd(x, w, strides).astype(jnp.float32))
+    # chain CHAIN convs through a scalar data dependency so the timed
+    # program contains CHAIN serialized real convs, and thread (x, w)
+    # through the timing loop so successive calls serialize too
+    def f(x, w):
+        total = jnp.float32(0.0)
+        for _ in range(CHAIN):
+            y = conv_nd(x, w, strides)
+            s = jnp.sum(y.astype(jnp.float32))
+            total = total + s
+            x = x * (1 + s * 0).astype(x.dtype)  # numerically x; forces ordering
+        return total
 
-        fn = jax.jit(jax.grad(f, argnums=(0, 1)))
+    zero = jnp.bfloat16(0.0)
+    if grad:
+        vg = jax.value_and_grad(f, argnums=(0, 1))
+
+        @jax.jit
+        def step(x, w, eps):
+            loss, (dx, dw) = vg(x, w)
+            return x + dx * eps, w + dw * eps, eps
+
     else:
-        fn = jax.jit(lambda x, w: conv_nd(x, w, strides))
-    sec = _time(fn, x, w)
+
+        @jax.jit
+        def step(x, w, eps):
+            total = f(x, w)
+            return x * (1 + eps * total.astype(x.dtype)), w, eps
+
+    sec = _time_state(step, (x, w, zero)) / CHAIN
     spatial = np.prod(x_shape[1:-1]) / np.prod(strides or (1,))
     macs = spatial * x_shape[0] * np.prod(w_shape[:-2]) * w_shape[-2] * w_shape[-1]
     flops = 2 * macs * (3 if grad else 1)  # grad ~ fwd + dx + dw
