@@ -79,12 +79,19 @@ class Decoder(nn.Module):
 
     @nn.compact
     def __call__(self, bottleneck, skips):
+        # accepts unbatched (H, W, C) or batched (N, H, W, C) inputs — the
+        # batched path lets SegFlow run the seg decoder once over all T
+        # frames (GroupNorm is per-sample, so this is math-identical)
+        unbatched = bottleneck.ndim == 3
+        if unbatched:
+            bottleneck = bottleneck[None]
+            skips = [s[None] for s in skips]
         x = bottleneck
         ds_heads = []
         n_up = len(skips) - 1
         for i, skip in enumerate(reversed(skips[:-1])):
             f = self.out_dims[len(skips) - 2 - i]
-            x = upsample_linear(x[None], (2, 2))[0]
+            x = upsample_linear(x, (2, 2))
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
             x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
@@ -94,13 +101,16 @@ class Decoder(nn.Module):
                     name=f"ds_head_{i}",
                 )(x.astype(jnp.float32))
                 factor = 2 ** (n_up - 1 - i)
-                ds_heads.append(upsample_linear(ds[None], (factor, factor))[0])
+                ds_heads.append(upsample_linear(ds, (factor, factor)))
         head = nn.Conv(
             self.head_channels,
             (1, 1),
             kernel_init=nn.initializers.normal(1e-5 * self.head_init_scale),
             dtype=jnp.float32,
         )(x.astype(jnp.float32))
+        if unbatched:
+            head, x = head[0], x[0]
+            ds_heads = [d[0] for d in ds_heads]
         if self.deep_supervision:
             # finest-first list, matching the reference's reversed
             # output_list (ref: decoder_alt.py:775)
@@ -166,15 +176,23 @@ class SkipFuse(nn.Module):
 
 
 class SegFlowStep(nn.Module):
-    """One temporal step: encode current frame + memory state, correlate,
-    cross-attend, update GRU, decode flow + seg."""
+    """One temporal step: encode the memory state, correlate against the
+    (pre-computed) query features, cross-attend, update GRU, decode flow.
+
+    TPU note: everything that does NOT depend on the temporal recurrence is
+    hoisted OUT of this step by SegFlow — the query encoder and the whole
+    segmentation decoder run once, batched over all T frames, instead of as
+    T tiny per-step kernels inside the scan (the per-frame work here is
+    ~0.1 GFLOP, far too small to utilize the MXU from inside a sequential
+    loop). Only the genuinely recurrent path (memory encoder on the
+    flow-warped state, correlation, attention, GRU, flow decoder) stays."""
 
     cfg: SegFlowModelConfig
     num_classes: int
 
     @nn.compact
     def __call__(self, carry, inputs):
-        frame, t_idx, dist = inputs
+        frame, q_skips, t_idx, dist = inputs
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         # cum_flow rides the carry CHANNEL-MAJOR (2, H, W): a channels-last
@@ -189,13 +207,10 @@ class SegFlowStep(nn.Module):
             [x0, prev_frame, jnp.moveaxis(cum_flow, 0, -1), error, registered], axis=-1
         )  # 6 channels (ref: SegFlowGaussian.py:1343)
 
-        q_skips = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="query_encoder")(
-            frame.astype(dtype)[None]
-        )
         m_skips = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="memory_encoder")(
             memory_in.astype(dtype)[None]
         )
-        q_skips = [s[0] for s in q_skips]
+        q_skips = list(q_skips)
         m_skips = [s[0] for s in m_skips]
 
         # per-scale local correlation fused into the query skips
@@ -203,9 +218,11 @@ class SegFlowStep(nn.Module):
         for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
             corr = None
             if cfg.use_cost_volume:
+                # raw (bf16) activations: both impls accumulate the channel
+                # reduction in f32 internally and return the input dtype, so
+                # upcasting here would only double the kernel's byte traffic
                 corr = local_correlation_volume(
-                    q.astype(jnp.float32),
-                    m.astype(jnp.float32),
+                    q, m,
                     radius=cfg.corr_radius[lvl],
                     stride=cfg.corr_stride[lvl],
                 ).astype(dtype)
@@ -257,18 +274,11 @@ class SegFlowStep(nn.Module):
             cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder",
             deep_supervision=cfg.deep_supervision,
         )(dec_in, fused)
-        seg_out, _ = Decoder(
-            cfg.out_encoder_dims, self.num_classes, cfg.norm, dtype,
-            name="seg_decoder", head_init_scale=1e5,
-            deep_supervision=cfg.deep_supervision,
-        )(q_skips[-1], q_skips)
 
         if cfg.deep_supervision:
             dflow, flow_ds = flow_out[0], flow_out[1:]
-            seg_logits, seg_ds = seg_out[0], seg_out[1:]
         else:
             dflow, flow_ds = flow_out, ()
-            seg_logits, seg_ds = seg_out, ()
 
         # frame 0 anchors the sequence: its flow step is identity
         gate = (t_idx > 0).astype(dflow.dtype)
@@ -279,7 +289,6 @@ class SegFlowStep(nn.Module):
         out = {
             "flow": dflow,
             "cum_flow": cum_flow,
-            "seg_logits": seg_logits,
             # (H, W): a trailing 1-channel axis would be lane-padded 128x
             "registered": warp_image_cm(frame, cum_flow, padding="border")[..., 0],
         }
@@ -288,7 +297,6 @@ class SegFlowStep(nn.Module):
             # (weights 1/2^i applied in the loss; ref trainer
             # SegFlowGaussian.py:376-381 + MultipleOutputLoss2)
             out["flow_ds"] = tuple(jnp.moveaxis(f, -1, 0) * gate for f in flow_ds)
-            out["seg_ds"] = seg_ds
         return new_carry, out
 
 
@@ -314,13 +322,34 @@ class SegFlow(nn.Module):
         n_levels = len(cfg.out_encoder_dims)
         hb, wb = h // (2 ** (n_levels - 1)), w // (2 ** (n_levels - 1))
 
+        # --- batched (non-recurrent) phase: T frames as one batch ---------
+        # The query encoder and the segmentation decoder depend only on the
+        # current frame, never on the recurrence, so they run ONCE over all
+        # T frames. GroupNorm statistics are per-sample, so this is
+        # math-identical to encoding frame-by-frame inside the scan — but
+        # the convs see batch T (x outer vmap batch) instead of batch 1,
+        # which is what actually fills the MXU (measured: the scan-internal
+        # version ran at <1% MFU; per-frame work is ~0.1 GFLOP).
+        q_skips_t = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="query_encoder")(
+            video.astype(dtype)
+        )
+        seg_out, _ = Decoder(
+            cfg.out_encoder_dims, self.num_classes, cfg.norm, dtype,
+            name="seg_decoder", head_init_scale=1e5,
+            deep_supervision=cfg.deep_supervision,
+        )(q_skips_t[-1], q_skips_t)
+        if cfg.deep_supervision:
+            seg_logits, seg_ds = seg_out[0], seg_out[1:]
+        else:
+            seg_logits, seg_ds = seg_out, ()
+
+        # --- recurrent phase: scan the flow path over frames --------------
         x0 = video[0]
         hidden0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
         prev_b0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
         carry0 = (hidden0, jnp.zeros((2, h, w), jnp.float32), prev_b0, x0, x0)
 
-        # scan over ALL frames (frame 0 included with an identity flow step,
-        # so every frame gets a segmentation from shared decoder params);
+        # scan over ALL frames (frame 0 included with an identity flow step);
         # optional remat trades recompute for T-x activation memory
         step_cls = nn.remat(SegFlowStep) if cfg.remat else SegFlowStep
         scan = nn.scan(
@@ -333,5 +362,8 @@ class SegFlow(nn.Module):
         )(cfg=cfg, num_classes=self.num_classes)
         if distance is None:
             distance = jnp.zeros((t,), jnp.float32)
-        _, outs = scan(carry0, (video, jnp.arange(t), distance))
+        _, outs = scan(carry0, (video, tuple(q_skips_t), jnp.arange(t), distance))
+        outs["seg_logits"] = seg_logits
+        if cfg.deep_supervision:
+            outs["seg_ds"] = seg_ds
         return outs

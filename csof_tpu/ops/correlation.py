@@ -190,14 +190,17 @@ def local_correlation_volume(
     scale = 1.0 / jnp.sqrt(jnp.float32(c))
     k = 2 * radius + 1
     pad = radius * stride
-    mem = jnp.pad(memory, ((pad, pad), (pad, pad), (0, 0)))
+    # f32 accumulation regardless of input dtype (matches the pallas
+    # kernel's accumulation; callers may pass bf16 activations directly)
+    qf = query.astype(jnp.float32)
+    mem = jnp.pad(memory.astype(jnp.float32), ((pad, pad), (pad, pad), (0, 0)))
     outs = []
     for dy in range(-radius, radius + 1):
         for dx in range(-radius, radius + 1):
             oy, ox = (dy * stride + pad), (dx * stride + pad)
             shifted = jax.lax.dynamic_slice(mem, (oy, ox, 0), (h, w, c))
-            outs.append(jnp.sum(query * shifted, axis=-1) * scale)
-    return jnp.stack(outs, axis=-1)  # (H, W, (2r+1)^2)
+            outs.append(jnp.sum(qf * shifted, axis=-1) * scale)
+    return jnp.stack(outs, axis=-1).astype(query.dtype)  # (H, W, (2r+1)^2)
 
 
 def _local_corr_einsum(query, memory, radius: int, stride: int):
@@ -221,7 +224,7 @@ def _local_corr_einsum(query, memory, radius: int, stride: int):
         "hwc,hwck->hwk", query.astype(jnp.float32), patches.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     )
-    return out / jnp.sqrt(jnp.float32(c))
+    return (out / jnp.sqrt(jnp.float32(c))).astype(query.dtype)
 
 
 def local_correlation_volume_batch(

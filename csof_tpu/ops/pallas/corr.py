@@ -36,53 +36,92 @@ def _round_up(x: int, m: int) -> int:
 
 def _corr_tile_kernel(
     q_ref, m_hbm, o_ref, m_vmem, sem, *, radius: int, stride: int, scale: float,
-    tile_h: int, slab: int,
+    tile_h: int, slab: int, w_logical: int,
 ):
     """One (batch, row-tile) grid step.
 
-    q_ref:  (1, C, TH, W) VMEM block of the query
-    m_hbm:  (B, C, Hpad, Wpad) padded memory resident in HBM — Wpad is
-            lane-aligned (128) and Hpad covers every slab, because Mosaic
-            requires DMA slices to be tiling-aligned on the minor dims
-            (a (…, 40) lane slice is rejected: "must be aligned to (128)")
-    o_ref:  (1, K^2, TH, W) output block
-    m_vmem: (C, slab, Wpad) scratch; slab = round_up(TH + 2*pad, 8)
+    q_ref:  (1, C, TH, W) VMEM block of the query (pipelined by pallas)
+    m_hbm:  (B, C, Hrows, W) row-padded memory resident in HBM. The W axis
+            carries NO halo: column shifts are lane-rolls + an output-column
+            mask (out-of-range columns correlate against zero padding, i.e.
+            the output is zero there). This removes both the old 2x lane-pad
+            DMA waste at W=128 (144 -> 256) and the 81 lane-UNALIGNED VMEM
+            slices (each paid a shift-network pass); now there are only
+            K aligned rolls.
+    o_ref:  (1, K^2, TH, W) output block (input dtype; f32 accumulation)
+    m_vmem: (2, C, slab, W) double-buffered scratch, slab = TH + 2*pad
+            rounded to the sublane tile. Grid steps run sequentially on the
+            core, so step `lin` prefetches the slab for step `lin+1` while
+            computing its own (bench: the serial DMA was ~25% of kernel
+            time at SegFlow level-0 geometry).
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
+    nb = pl.num_programs(0)
+    nt = pl.num_programs(1)
     th, w = q_ref.shape[2], q_ref.shape[3]
     k = 2 * radius + 1
-    # DMA the haloed row slab for this tile: rows [i*TH, i*TH + slab);
-    # full (aligned) lane width, sublane-aligned row count
-    dma = pltpu.make_async_copy(
-        m_hbm.at[b, :, pl.ds(i * tile_h, slab), :],
-        m_vmem,
-        sem,
-    )
-    dma.start()
-    dma.wait()
-    q = q_ref[0]
-    for dy in range(-radius, radius + 1):
-        for dx in range(-radius, radius + 1):
+    lin = b * nt + i
+    slot = jax.lax.rem(lin, 2)
+    nslot = jax.lax.rem(lin + 1, 2)
+
+    def dma(bb, ii, sl):
+        return pltpu.make_async_copy(
+            m_hbm.at[bb, :, pl.ds(ii * tile_h, slab), :],
+            m_vmem.at[sl],
+            sem.at[sl],
+        )
+
+    @pl.when(lin == 0)
+    def _():
+        dma(b, i, slot).start()
+
+    # prefetch the successor grid step's slab (row-major order: i fastest)
+    @pl.when(jnp.logical_and(lin + 1 < nb * nt, i + 1 < nt))
+    def _():
+        dma(b, i + 1, nslot).start()
+
+    @pl.when(jnp.logical_and(lin + 1 < nb * nt, i + 1 == nt))
+    def _():
+        dma(b + 1, 0, nslot).start()
+
+    dma(b, i, slot).wait()
+    # f32 upcast happens HERE, in VMEM, after the (possibly bf16) DMA —
+    # HBM/DMA traffic stays in the input dtype; Mosaic's lane rotate only
+    # supports 32-bit element types ("Rotate with non-32-bit data")
+    q = q_ref[0].astype(jnp.float32)
+    m_all = m_vmem[slot].astype(jnp.float32)
+    # w here is the lane-padded width (DMA slices must be 128-aligned on the
+    # lane axis); the mask uses the LOGICAL width, so columns that roll in
+    # wrapped or padded data are zeroed — identical to zero-padded shifts
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    for dx in range(-radius, radius + 1):
+        sh = dx * stride
+        # pltpu.roll requires a non-negative shift; a circular roll by -sh
+        # equals one by (-sh) mod w
+        rolled = pltpu.roll(m_all, (-sh) % w, axis=2) if sh % w else m_all
+        mask = ((col + sh >= 0) & (col + sh < w_logical)).astype(jnp.float32)
+        for dy in range(-radius, radius + 1):
             oy = (dy + radius) * stride
-            ox = (dx + radius) * stride
-            m = m_vmem[:, oy : oy + th, ox : ox + w]
+            m = rolled[:, oy : oy + th, :]
             kk = (dy + radius) * k + (dx + radius)
-            o_ref[0, kk] = jnp.sum(q * m, axis=0) * scale
+            acc = jnp.sum(q * m, axis=0)
+            o_ref[0, kk] = (acc * (scale * mask)).astype(o_ref.dtype)
 
 
-def _pick_tile_h(h: int, w: int, c: int, k2: int, pad: int, budget_mb: float = 10.0):
+def _pick_tile_h(h: int, w: int, c: int, k2: int, pad: int, itemsize: int,
+                 budget_mb: float = 10.0):
     """Largest row-tile whose q + m-scratch + out blocks fit the VMEM budget.
 
     The returned tile need NOT divide h: the caller pads the row axis to a
     tile multiple and slices the output back (a non-dividing tile previously
     left the trailing h % tile_h rows of the output unwritten)."""
-    candidates = [th for th in (h, 256, 128, 64, 32, 16, 8) if th <= h] or [h]
+    candidates = [th for th in (h, 256, 128, 64, 32, 16) if th <= h] or [h]
     for th in candidates:
-        bytes_needed = 4 * (
-            c * th * w  # q block
-            + c * _round_up(th + 2 * pad, 8) * _round_up(w + 2 * pad, 128)  # m scratch
-            + k2 * th * w  # out block
+        bytes_needed = itemsize * (
+            2 * c * th * w  # q block (pipeline double-buffers)
+            + 2 * c * _round_up(th + 2 * pad, 16) * w  # m scratch, 2 slots
+            + 2 * k2 * th * w  # out block (pipeline double-buffers)
         )
         if bytes_needed <= budget_mb * 1024 * 1024:
             return th
@@ -97,58 +136,67 @@ def local_correlation_volume_pallas_batched(
     interpret: bool = False,
     budget_mb: float = 10.0,
 ) -> jnp.ndarray:
-    """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2)."""
+    """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2), in the INPUT dtype.
+
+    bf16 inputs stay bf16 through the transposes, DMA and VPU reads (the
+    products are accumulated in f32) — on bf16 SegFlow activations this
+    halves every byte the kernel moves vs the old always-f32 version, with
+    no information loss (the activations were bf16 to begin with)."""
     b, h, w, c = query.shape
     pad = radius * stride
     k2 = (2 * radius + 1) ** 2
+    dtype = query.dtype
     # channel-major: the lane dimension is the aligned W axis; K^2=81 on the
     # minor axis makes Mosaic blow up (81 is not lane-aligned), so the window
     # index is an untiled leading dim
-    q_cm = jnp.moveaxis(query.astype(jnp.float32), -1, 1)  # (B, C, H, W)
-    m_cm = jnp.moveaxis(memory.astype(jnp.float32), -1, 1)
-    tile_h = _pick_tile_h(h, w, c, k2, pad, budget_mb)
+    q_cm = jnp.moveaxis(query, -1, 1)  # (B, C, H, W)
+    m_cm = jnp.moveaxis(memory, -1, 1)
+    # lane axis padded to the 128 tile: Mosaic rejects DMA slices whose lane
+    # extent is not 128-aligned (a 32-wide level-2 map is stored lane-padded
+    # anyway; the roll+mask shift logic stays correct because the mask uses
+    # the logical width)
+    wpad = _round_up(w, 128)
+    tile_h = _pick_tile_h(h, wpad, c, k2, pad, jnp.dtype(dtype).itemsize, budget_mb)
     # Pad the row axis to a tile multiple (tile_h need not divide h); the
     # extra rows are zeros and the output is sliced back to h below.
     hpad = _round_up(h, tile_h)
-    if hpad != h:
-        q_cm = jnp.pad(q_cm, ((0, 0), (0, 0), (0, hpad - h), (0, 0)))
-    # DMA-alignment padding (see _corr_tile_kernel): lane axis to a 128
-    # multiple, rows so that every slab [i*TH, i*TH + slab) is in bounds
-    slab = _round_up(tile_h + 2 * pad, 8)
-    wpad = _round_up(w + 2 * pad, 128)
+    if hpad != h or wpad != w:
+        q_cm = jnp.pad(q_cm, ((0, 0), (0, 0), (0, hpad - h), (0, wpad - w)))
+    # Row padding only (see _corr_tile_kernel: no column halo): pad rows so
+    # every slab [i*TH, i*TH + slab) is in bounds, sublane-tile-aligned.
+    slab = _round_up(tile_h + 2 * pad, 16)
     rows = (hpad // tile_h - 1) * tile_h + slab
     m_cm = jnp.pad(
-        m_cm,
-        ((0, 0), (0, 0), (pad, max(rows - h - pad, pad)), (pad, wpad - w - pad)),
+        m_cm, ((0, 0), (0, 0), (pad, max(rows - h - pad, pad)), (0, wpad - w))
     )
     kernel = functools.partial(
         _corr_tile_kernel,
         radius=radius, stride=stride, scale=1.0 / math.sqrt(c),
-        tile_h=tile_h, slab=slab,
+        tile_h=tile_h, slab=slab, w_logical=w,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, k2, hpad, w), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, k2, hpad, wpad), dtype),
         grid=(b, hpad // tile_h),
         in_specs=[
             pl.BlockSpec(
-                (1, c, tile_h, w), lambda bb, ii: (bb, 0, ii, 0),
+                (1, c, tile_h, wpad), lambda bb, ii: (bb, 0, ii, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.ANY),  # padded memory stays in HBM
         ],
         out_specs=pl.BlockSpec(
-            (1, k2, tile_h, w), lambda bb, ii: (bb, 0, ii, 0),
+            (1, k2, tile_h, wpad), lambda bb, ii: (bb, 0, ii, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((c, slab, wpad), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, c, slab, wpad), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(q_cm, m_cm)
-    if hpad != h:
-        out = out[:, :, :h, :]
+    if hpad != h or wpad != w:
+        out = out[:, :, :h, :w]
     return jnp.moveaxis(out, 1, -1)
 
 

@@ -69,7 +69,7 @@ def test_pallas_corr_non_dividing_tile_pads_rows():
         pc._pick_tile_h = orig
     # the tile picker itself no longer requires divisibility: a tiny budget
     # must still return a usable (small) tile, never one larger than H
-    assert pc._pick_tile_h(20, 16, 8, 25, 2, budget_mb=1e-9) <= 20
+    assert pc._pick_tile_h(20, 16, 8, 25, 2, 4, budget_mb=1e-9) <= 20
 
 
 def test_pallas_ncc_matches_reference():
@@ -121,3 +121,26 @@ def test_pallas_corr_custom_vjp_matches_jnp_grads():
     gq_j, gm_j = jax.grad(loss_jnp, argnums=(0, 1))(q, m)
     np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_j), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_j), atol=1e-4)
+
+
+def test_pallas_corr_bf16_dtype_preserving():
+    """bf16 inputs flow through the kernel as bf16 (half the byte traffic of
+    the old always-f32 version) with f32 accumulation: the output dtype is
+    bf16 and values match the f32 reference within bf16 rounding."""
+    from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas_batched
+
+    rng = np.random.RandomState(11)
+    qf = rng.rand(2, 24, 16, 8).astype(np.float32)
+    mf = rng.rand(2, 24, 16, 8).astype(np.float32)
+    q16, m16 = jnp.asarray(qf, jnp.bfloat16), jnp.asarray(mf, jnp.bfloat16)
+    out = local_correlation_volume_pallas_batched(q16, m16, 2, 1, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    import jax
+
+    ref = jax.vmap(
+        lambda a, b: local_correlation_volume(a, b, radius=2, stride=1)
+    )(jnp.asarray(qf), jnp.asarray(mf))
+    # inputs rounded to bf16 + bf16 products: ~1% relative tolerance
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.03, atol=0.03
+    )

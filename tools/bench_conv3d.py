@@ -31,9 +31,12 @@ PEAK_BF16_TFLOPS = 197.0  # v5e
 
 
 def _time_state(step, state, reps=10):
-    """Time a state-threading step (state dependency serializes reps — the
-    only pattern this remote backend times honestly; independent identical
-    calls read as ~0)."""
+    """Time a state-threading step whose state provably CHANGES BYTES every
+    rep. The remote backend elides repeated executions whose (program, args)
+    are byte-identical — both independent identical calls AND state-threaded
+    steps that return their inputs unchanged read as ~0 time (the 34 PFLOP/s
+    readings of the first probe versions). bench_epoch.py times honestly
+    because SGD genuinely mutates params each rep; this mirrors that."""
     import jax
 
     state = step(*state)
@@ -78,23 +81,35 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
             x = x * (1 + s * 0).astype(x.dtype)  # numerically x; forces ordering
         return total
 
-    zero = jnp.bfloat16(0.0)
+    # per-rep multiplicative jiggle: scale x by 1 ± 2^-7 alternating (bf16-
+    # representable, so the bytes of x provably change each rep; alternating
+    # keeps |x| stable: (1+a)(1-a) = 1-a^2). The scalar probe result is
+    # folded in at 1e-30 relative weight to keep the chain consumed without
+    # perturbing the magnitude.
+    eps = 2.0 ** -7
+
+    def _scale(k, total):
+        sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
+        return (1.0 + eps * sign + total * 1e-30).astype(jnp.bfloat16)
+
+    k0 = jnp.int32(0)
     if grad:
         vg = jax.value_and_grad(f, argnums=(0, 1))
 
         @jax.jit
-        def step(x, w, eps):
+        def step(x, w, k):
             loss, (dx, dw) = vg(x, w)
-            return x + dx * eps, w + dw * eps, eps
+            probe = loss + jnp.sum(dx.astype(jnp.float32)) + jnp.sum(dw.astype(jnp.float32))
+            return x * _scale(k, probe), w, k + 1
 
     else:
 
         @jax.jit
-        def step(x, w, eps):
+        def step(x, w, k):
             total = f(x, w)
-            return x * (1 + eps * total.astype(x.dtype)), w, eps
+            return x * _scale(k, total), w, k + 1
 
-    sec = _time_state(step, (x, w, zero)) / CHAIN
+    sec = _time_state(step, (x, w, k0)) / CHAIN
     spatial = np.prod(x_shape[1:-1]) / np.prod(strides or (1,))
     macs = spatial * x_shape[0] * np.prod(w_shape[:-2]) * w_shape[-2] * w_shape[-1]
     flops = 2 * macs * (3 if grad else 1)  # grad ~ fwd + dx + dw

@@ -11,33 +11,48 @@ import time
 import numpy as np
 
 
-def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5):
+def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5, draws=1):
     import jax
     import jax.numpy as jnp
 
     from csof_tpu.config.experiment import SegFlowModelConfig
     from csof_tpu.models.segflow import SegFlow
+    from csof_tpu.utils.autotune import jiggle_term
 
     cfg = SegFlowModelConfig(**cfg_kwargs)
     model = SegFlow(cfg=cfg, num_classes=4)
     rng = np.random.RandomState(0)
     videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), videos[0])
+    zero = jnp.float32(0.0)
 
-    @jax.jit
-    def forward(videos):
-        out = jax.vmap(lambda v: model.apply(params, v))(videos)
-        return out["seg_logits"], out["cum_flow"]
+    def make_forward(k):
+        @jax.jit
+        def forward(videos, jiggle):
+            out = jax.vmap(lambda v: model.apply(params, v))(videos)
+            return out["seg_logits"] + jiggle_term(jiggle, k), out["cum_flow"]
 
-    out = forward(videos)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = forward(videos)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = batch * t * reps / dt
-    print(json.dumps({"name": name, "batch": batch, "fps": round(fps, 1)}), flush=True)
+        return forward
+
+    per_draw = []
+    for k in range(draws):
+        forward = make_forward(k)
+        out = forward(videos, zero)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = forward(videos, zero)
+        jax.block_until_ready(out)
+        dt = time.perf_counter() - t0
+        per_draw.append(batch * t * reps / dt)
+    fps = max(per_draw)
+    print(
+        json.dumps(
+            {"name": name, "batch": batch, "fps": round(fps, 1),
+             "draw_fps": [round(f, 1) for f in per_draw]}
+        ),
+        flush=True,
+    )
     return fps
 
 
@@ -57,6 +72,16 @@ SWEEPS = {
         ("base_b16", {}, dict(batch=16)),
         ("no_costvol_b8", {"use_cost_volume": False}, dict(batch=8)),
         ("no_gru_b8", {"use_gru": False}, dict(batch=8)),
+    ],
+    # corr-fuse restructure ablation (VERDICT r2 item 2): isolate the
+    # lane-padded concat cost from the corr-kernel cost and the conv-width
+    # cost at the bench geometry
+    "fuse": [
+        ("fuse_concat_b8", {"corr_fuse": "concat"}, dict(batch=8, draws=2)),
+        ("fuse_split_b8", {"corr_fuse": "split"}, dict(batch=8, draws=2)),
+        ("fuse_project_b8", {"corr_fuse": "project"}, dict(batch=8, draws=2)),
+        ("fuse_mean1_b8", {"corr_fuse": "mean1"}, dict(batch=8, draws=2)),
+        ("no_costvol_b8", {"use_cost_volume": False}, dict(batch=8, draws=2)),
     ],
 }
 
