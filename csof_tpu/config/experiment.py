@@ -95,6 +95,11 @@ class SegFlowModelConfig:
     # jax.checkpoint the per-frame step: recompute activations in backward
     # instead of storing T copies (HBM/FLOPs trade; SURVEY TPU notes)
     remat: bool = False
+    # lax.scan unroll factor for the temporal loop. Convs inside a scan body
+    # are layout-constrained by the loop boundary and measured 3-5x slower
+    # than the identical convs outside it (docs/BENCHMARKS.md round 3);
+    # unrolling restores the compiler's freedom at the cost of compile time.
+    scan_unroll: int = 1
     dtype: str = "bfloat16"
 
 

@@ -67,8 +67,27 @@ class CrossAttentionLayer(nn.Module):
         qh = nn.Dense(self.d_model, dtype=self.dtype, name="q_proj")(qn).reshape(-1, nh, hd)
         kh = nn.Dense(self.d_model, dtype=self.dtype, name="k_proj")(k).reshape(-1, nh, hd)
         vh = nn.Dense(self.d_model, dtype=self.dtype, name="v_proj")(v).reshape(-1, nh, hd)
-        logits = jnp.einsum("qhd,khd->hqk", qh, kh, preferred_element_type=jnp.float32)
-        weights = jax.nn.softmax(logits / np.sqrt(hd), axis=-1)
+        if jnp.dtype(self.dtype) == jnp.bfloat16:
+            # bf16 fast path: never materialize the (heads, Q, K) logits or
+            # weights in f32 — at the video bottleneck (1024 tokens) those
+            # two f32 buffers are ~64 MB per sample-layer and made attention
+            # purely HBM-bound (measured 14.3 ms/rep of the SegFlow scan,
+            # matching the byte count at HBM bandwidth). Reductions (max,
+            # denominator) run in f32; materialized tensors stay bf16 —
+            # the same accumulate-wide/store-narrow recipe as the bf16
+            # norm fast paths in models/blocks.py.
+            logits = jnp.einsum("qhd,khd->hqk", qh, kh) / np.asarray(
+                np.sqrt(hd), jnp.bfloat16
+            )
+            mx = jnp.max(logits.astype(jnp.float32), axis=-1, keepdims=True)
+            unnorm = jnp.exp(logits - mx.astype(logits.dtype))
+            denom = jnp.sum(unnorm, axis=-1, keepdims=True, dtype=jnp.float32)
+            weights = unnorm * (1.0 / denom).astype(unnorm.dtype)
+        else:
+            logits = jnp.einsum(
+                "qhd,khd->hqk", qh, kh, preferred_element_type=jnp.float32
+            )
+            weights = jax.nn.softmax(logits / np.sqrt(hd), axis=-1)
         # key-space saliency: attention mass each key receives, averaged over
         # heads and queries -> (H, W) map for the visualizer
         self.sow(

@@ -192,6 +192,14 @@ class SegFlowStep(nn.Module):
 
     @nn.compact
     def __call__(self, carry, inputs):
+        import os
+
+        # trace-time perf-diagnostic ablations (tools/bench_explore.py
+        # 'isolate' sweep ONLY — never set in production; changes both the
+        # math and the param tree): comma list of warp|attn|menc|flowdec
+        ablate = set(
+            filter(None, os.environ.get("CSOF_SEGFLOW_ABLATE", "").split(","))
+        )
         frame, q_skips, t_idx, dist = inputs
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
@@ -201,17 +209,23 @@ class SegFlowStep(nn.Module):
         # the measured cause of the b=8 training OOM (docs/BENCHMARKS.md)
         hidden, cum_flow, prev_bottleneck, x0, prev_frame = carry
 
-        registered = warp_image_cm(frame, cum_flow, padding="border")
+        if "warp" in ablate:
+            registered = frame
+        else:
+            registered = warp_image_cm(frame, cum_flow, padding="border")
         error = registered - x0
         memory_in = jnp.concatenate(
             [x0, prev_frame, jnp.moveaxis(cum_flow, 0, -1), error, registered], axis=-1
         )  # 6 channels (ref: SegFlowGaussian.py:1343)
 
-        m_skips = Encoder(cfg.out_encoder_dims, cfg.norm, dtype, name="memory_encoder")(
-            memory_in.astype(dtype)[None]
-        )
+        if "menc" in ablate:
+            m_skips = list(q_skips)
+        else:
+            m_skips = Encoder(
+                cfg.out_encoder_dims, cfg.norm, dtype, name="memory_encoder"
+            )(memory_in.astype(dtype)[None])
+            m_skips = [s[0] for s in m_skips]
         q_skips = list(q_skips)
-        m_skips = [s[0] for s in m_skips]
 
         # per-scale local correlation fused into the query skips
         fused = []
@@ -251,15 +265,18 @@ class SegFlowStep(nn.Module):
         cur = cur + nn.Dense(cur.shape[-1], dtype=dtype, name="dist_embed")(
             demb.astype(dtype)
         )[None, None, :]
-        # bottleneck 1: match current against previous-frame bottleneck
-        b1 = CrossAttentionLayer(
-            cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_prev"
-        )(cur, prev_bottleneck, prev_bottleneck)
-        # bottleneck 2: match against the ED (first) frame + past motion (GRU h)
-        b2 = CrossAttentionLayer(
-            cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_ed"
-        )(cur, m_skips[-1], hidden)
-        bottleneck = jnp.concatenate([b1, b2], axis=-1).astype(dtype)
+        if "attn" in ablate:
+            bottleneck = jnp.concatenate([cur, cur], axis=-1).astype(dtype)
+        else:
+            # bottleneck 1: match current against previous-frame bottleneck
+            b1 = CrossAttentionLayer(
+                cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_prev"
+            )(cur, prev_bottleneck, prev_bottleneck)
+            # bottleneck 2: match against the ED (first) frame + past motion (GRU h)
+            b2 = CrossAttentionLayer(
+                cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype, name="bottleneck_ed"
+            )(cur, m_skips[-1], hidden)
+            bottleneck = jnp.concatenate([b1, b2], axis=-1).astype(dtype)
         bottleneck = ConvNormAct(cfg.d_model, (3, 3), norm=cfg.norm, dtype=dtype)(bottleneck[None])[0]
 
         if cfg.use_gru:
@@ -270,10 +287,13 @@ class SegFlowStep(nn.Module):
         else:
             dec_in = bottleneck
 
-        flow_out, _ = Decoder(
-            cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder",
-            deep_supervision=cfg.deep_supervision,
-        )(dec_in, fused)
+        if "flowdec" in ablate:
+            flow_out = jnp.mean(dec_in) * jnp.ones((*frame.shape[:2], 2), jnp.float32)
+        else:
+            flow_out, _ = Decoder(
+                cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder",
+                deep_supervision=cfg.deep_supervision,
+            )(dec_in, fused)
 
         if cfg.deep_supervision:
             dflow, flow_ds = flow_out[0], flow_out[1:]
@@ -290,7 +310,10 @@ class SegFlowStep(nn.Module):
             "flow": dflow,
             "cum_flow": cum_flow,
             # (H, W): a trailing 1-channel axis would be lane-padded 128x
-            "registered": warp_image_cm(frame, cum_flow, padding="border")[..., 0],
+            "registered": (
+                frame if "warp" in ablate
+                else warp_image_cm(frame, cum_flow, padding="border")
+            )[..., 0],
         }
         if cfg.deep_supervision:
             # auxiliary full-res heads per decoder scale, finest-first
@@ -359,6 +382,7 @@ class SegFlow(nn.Module):
             split_rngs={"params": False},
             in_axes=0,
             out_axes=0,
+            unroll=min(cfg.scan_unroll, t),
         )(cfg=cfg, num_classes=self.num_classes)
         if distance is None:
             distance = jnp.zeros((t,), jnp.float32)

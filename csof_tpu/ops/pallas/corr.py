@@ -200,16 +200,136 @@ def local_correlation_volume_pallas_batched(
     return jnp.moveaxis(out, 1, -1)
 
 
+def _corr_bwd_tile_kernel(
+    q_hbm, m_hbm, g_hbm, dq_ref, dm_ref, q_vmem, m_vmem, g_vmem, sems, *,
+    radius: int, stride: int, scale: float, tile_h: int, slab: int,
+    w_logical: int,
+):
+    """Backward of the local correlation for one (batch, row-tile) step.
+
+    With zero-padded shifts d_kk = (dy, dx)*stride and the cotangent
+    g[p, kk]:
+
+      dq[p, c] = scale * sum_kk g[p, kk]        * m[p + d_kk, c]
+      dm[p, c] = scale * sum_e  g[p + e, kk(-e)] * q[p + e, c]
+
+    (the dm form substitutes e = -d_kk, legal because the window is
+    symmetric) — i.e. BOTH gradients are roll+fma patterns over the same
+    (2r+1)^2 window as the forward, with no scatter at all. The previous
+    XLA backward materialized 81 dynamic slices + 81 scatter-adds in f32
+    per level.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    th = dq_ref.shape[2]
+    w = dq_ref.shape[3]
+    k = 2 * radius + 1
+
+    for src, dst, sem in ((q_hbm, q_vmem, 0), (m_hbm, m_vmem, 1), (g_hbm, g_vmem, 2)):
+        pltpu.make_async_copy(
+            src.at[b, :, pl.ds(i * tile_h, slab), :], dst, sems.at[sem]
+        ).start()
+    for src, dst, sem in ((q_hbm, q_vmem, 0), (m_hbm, m_vmem, 1), (g_hbm, g_vmem, 2)):
+        pltpu.make_async_copy(
+            src.at[b, :, pl.ds(i * tile_h, slab), :], dst, sems.at[sem]
+        ).wait()
+
+    pad = radius * stride
+    q_all = q_vmem[...].astype(jnp.float32)
+    m_all = m_vmem[...].astype(jnp.float32)
+    g_all = g_vmem[...].astype(jnp.float32)
+    g_center = g_all[:, pad : pad + th, :]
+    c_dim = q_all.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    dq_acc = jnp.zeros((c_dim, th, w), jnp.float32)
+    dm_acc = jnp.zeros((c_dim, th, w), jnp.float32)
+    for dx in range(-radius, radius + 1):
+        sh = dx * stride
+        if sh % w:
+            m_rolled = pltpu.roll(m_all, (-sh) % w, axis=2)
+            q_rolled = pltpu.roll(q_all, (-sh) % w, axis=2)
+            g_rolled = pltpu.roll(g_all, (-sh) % w, axis=2)
+        else:
+            m_rolled, q_rolled, g_rolled = m_all, q_all, g_all
+        mask = ((col + sh >= 0) & (col + sh < w_logical)).astype(jnp.float32)
+        for dy in range(-radius, radius + 1):
+            oy = (dy + radius) * stride
+            kk = (dy + radius) * k + (dx + radius)
+            kkflip = (radius - dy) * k + (radius - dx)
+            # dq: g at the tile center, m shifted by +d_kk
+            dq_acc = dq_acc + (g_center[kk] * mask)[None] * m_rolled[:, oy : oy + th, :]
+            # dm: g (flipped window channel) AND q both shifted by +e
+            gq = (g_rolled[kkflip, oy : oy + th, :] * mask)[None]
+            dm_acc = dm_acc + gq * q_rolled[:, oy : oy + th, :]
+    dq_ref[0] = (dq_acc * scale).astype(dq_ref.dtype)
+    dm_ref[0] = (dm_acc * scale).astype(dm_ref.dtype)
+
+
+def _corr_bwd_pallas(query, memory, g, radius, stride, interpret,
+                     budget_mb: float = 10.0):
+    """(B,H,W,C) q/m + (B,H,W,K^2) cotangent -> (dq, dm), input dtypes."""
+    b, h, w, c = query.shape
+    pad = radius * stride
+    k2 = (2 * radius + 1) ** 2
+    dtype = query.dtype
+    q_cm = jnp.moveaxis(query, -1, 1)
+    m_cm = jnp.moveaxis(memory, -1, 1)
+    g_cm = jnp.moveaxis(g.astype(dtype), -1, 1)
+    wpad = _round_up(w, 128)
+    # reuse the forward tile picker with an effective channel count that
+    # reflects the three slabs (C q + C m + K2 g) and two accumulators
+    tile_h = _pick_tile_h(
+        h, wpad, 2 * c + k2, c, pad, jnp.dtype(dtype).itemsize, budget_mb
+    )
+    hpad = _round_up(h, tile_h)
+    slab = _round_up(tile_h + 2 * pad, 16)
+    rows = (hpad // tile_h - 1) * tile_h + slab
+    rpad = ((0, 0), (0, 0), (pad, max(rows - h - pad, pad)), (0, wpad - w))
+    q_cm = jnp.pad(q_cm, rpad)
+    m_cm = jnp.pad(m_cm, rpad)
+    g_cm = jnp.pad(g_cm, rpad)
+    kernel = functools.partial(
+        _corr_bwd_tile_kernel,
+        radius=radius, stride=stride, scale=1.0 / math.sqrt(c),
+        tile_h=tile_h, slab=slab, w_logical=w,
+    )
+    dq, dm = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b, c, hpad, wpad), dtype),
+            jax.ShapeDtypeStruct((b, c, hpad, wpad), dtype),
+        ),
+        grid=(b, hpad // tile_h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=(
+            pl.BlockSpec((1, c, tile_h, wpad), lambda bb, ii: (bb, 0, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, tile_h, wpad), lambda bb, ii: (bb, 0, ii, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, slab, wpad), dtype),
+            pltpu.VMEM((c, slab, wpad), dtype),
+            pltpu.VMEM((k2, slab, wpad), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )(q_cm, m_cm, g_cm)
+    dq = jnp.moveaxis(dq[:, :, :h, :w], 1, -1)
+    dm = jnp.moveaxis(dm[:, :, :h, :w], 1, -1)
+    return dq, dm
+
+
 @functools.lru_cache(maxsize=None)
 def _make_corr_fn(radius: int, stride: int, interpret: bool):
     """custom_vmap traces every positional argument, so the static kernel
     parameters are closed over here (one cached wrapper per config).
 
     The batched kernel carries a custom VJP (pallas_call has no JVP rule,
-    so the kernel would otherwise be forward-only): the backward runs as
-    (2r+1)^2 static shifted slices / slice-adds in XLA — exactly the work
-    autodiff emits for the jnp forward, so pallas-fwd + XLA-bwd strictly
-    dominates the all-jnp training path."""
+    so the kernel would otherwise be forward-only). The backward is the
+    roll+fma Pallas kernel `_corr_bwd_tile_kernel` on TPU (no scatters; see
+    its docstring) and falls back to the XLA shifted-slice/scatter-add
+    reference below elsewhere or with CSOF_CORR_BWD=jnp."""
 
     @jax.custom_vjp
     def batched(query, memory):
@@ -222,6 +342,13 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
 
     def _bwd(res, g):
         query, memory = res
+        import os
+
+        impl = os.environ.get("CSOF_CORR_BWD")
+        if impl not in ("jnp", "pallas"):
+            impl = "pallas" if (interpret or jax.default_backend() == "tpu") else "jnp"
+        if impl == "pallas":
+            return _corr_bwd_pallas(query, memory, g, radius, stride, interpret)
         b, h, w, c = query.shape
         pad = radius * stride
         scale = 1.0 / math.sqrt(c)

@@ -144,3 +144,36 @@ def test_pallas_corr_bf16_dtype_preserving():
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref), rtol=0.03, atol=0.03
     )
+
+
+def test_pallas_corr_bwd_kernel_matches_xla_reference():
+    """The roll+fma Pallas backward (no scatters) must equal the XLA
+    shifted-slice/scatter-add reference backward for dq AND dm, including
+    strided windows and non-dividing tiles."""
+    import os
+
+    import jax
+
+    from csof_tpu.ops.pallas import corr as pc
+
+    rng = np.random.RandomState(13)
+    for h, w, c, r, s in ((16, 16, 6, 2, 1), (20, 16, 4, 2, 2)):
+        q = jnp.asarray(rng.rand(2, h, w, c).astype(np.float32))
+        m = jnp.asarray(rng.rand(2, h, w, c).astype(np.float32))
+        k2 = (2 * r + 1) ** 2
+        tgt = jnp.asarray(rng.rand(2, h, w, k2).astype(np.float32))
+
+        def loss(q, m, impl):
+            os.environ["CSOF_CORR_BWD"] = impl
+            try:
+                out = jax.vmap(
+                    lambda a, b: pc.local_correlation_volume_pallas(a, b, r, s, True)
+                )(q, m)
+                return jnp.sum((out - tgt) ** 2)
+            finally:
+                os.environ.pop("CSOF_CORR_BWD", None)
+
+        gq_p, gm_p = jax.grad(lambda a, b: loss(a, b, "pallas"), (0, 1))(q, m)
+        gq_j, gm_j = jax.grad(lambda a, b: loss(a, b, "jnp"), (0, 1))(q, m)
+        np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_j), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_j), atol=1e-4)

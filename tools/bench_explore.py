@@ -11,7 +11,11 @@ import time
 import numpy as np
 
 
-def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5, draws=1):
+def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5, draws=1, ablate=""):
+    import os
+
+    os.environ["CSOF_SEGFLOW_ABLATE"] = ablate  # trace-time diagnostic hook
+
     import jax
     import jax.numpy as jnp
 
@@ -66,12 +70,27 @@ SWEEPS = {
     ],
     # B>=8 HBM-regression isolation (docs/BENCHMARKS.md batch-scaling row)
     "batch": [
-        ("base_b2", {}, dict(batch=2)),
-        ("base_b4", {}, dict(batch=4)),
-        ("base_b8", {}, dict(batch=8)),
-        ("base_b16", {}, dict(batch=16)),
-        ("no_costvol_b8", {"use_cost_volume": False}, dict(batch=8)),
-        ("no_gru_b8", {"use_gru": False}, dict(batch=8)),
+        ("base_b4", {}, dict(batch=4, draws=2)),
+        ("base_b8", {}, dict(batch=8, draws=2)),
+        ("base_b16", {}, dict(batch=16, draws=2)),
+        ("base_b32", {}, dict(batch=32, draws=2)),
+    ],
+    # round-3 scan findings: attention bf16 softmax + scan unroll
+    "scanperf": [
+        ("base_b8", {}, dict(batch=8, draws=2)),
+        ("unroll4_b8", {"scan_unroll": 4}, dict(batch=8, draws=2)),
+        ("unroll12_b8", {"scan_unroll": 12}, dict(batch=8, draws=2)),
+        ("unroll12_b16", {"scan_unroll": 12}, dict(batch=16, draws=2)),
+    ],
+    # per-component time attribution inside the scan (CSOF_SEGFLOW_ABLATE
+    # diagnostic hook): each row removes ONE recurrent-path component
+    "isolate": [
+        ("base_b8", {}, dict(batch=8, draws=2)),
+        ("no_warp_b8", {}, dict(batch=8, draws=2, ablate="warp")),
+        ("no_attn_b8", {}, dict(batch=8, draws=2, ablate="attn")),
+        ("no_menc_b8", {}, dict(batch=8, draws=2, ablate="menc")),
+        ("no_flowdec_b8", {}, dict(batch=8, draws=2, ablate="flowdec")),
+        ("no_gru_b8", {"use_gru": False}, dict(batch=8, draws=2)),
     ],
     # corr-fuse restructure ablation (VERDICT r2 item 2): isolate the
     # lane-padded concat cost from the corr-kernel cost and the conv-width
