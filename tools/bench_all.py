@@ -18,15 +18,33 @@ import numpy as np
 
 
 def _time(fn, args, frames, reps=10):
+    """Timing that provably mutates the first argument's bytes every rep
+    (multiplicative 1 +/- 2^-7 jiggle + consumed output probe): the remote
+    backend elides re-executions with byte-identical (program, args), so the
+    naive call-in-a-loop pattern can read impossibly fast. Inputs must be
+    NONZERO for the jiggle to change bytes."""
     import jax
+    import jax.numpy as jnp
 
-    jfn = jax.jit(fn)
-    out = jfn(*args)
-    jax.block_until_ready(out)
+    x0, *rest = args
+
+    @jax.jit
+    def step(x, k):
+        out = fn(x, *rest)
+        probe = sum(
+            jnp.sum(o.astype(jnp.float32)) for o in jax.tree_util.tree_leaves(out)
+        )
+        sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
+        scale = (1.0 + 2.0**-7 * sign + probe * 1e-30).astype(x.dtype)
+        return x * scale, k + 1
+
+    st = (x0, jnp.int32(0))
+    st = step(*st)
+    jax.block_until_ready(st)
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = jfn(*args)
-    jax.block_until_ready(out)
+        st = step(*st)
+    jax.block_until_ready(st)
     return frames * reps / (time.perf_counter() - t0)
 
 
@@ -37,7 +55,7 @@ def bench_unet2d():
     from csof_tpu.models.unet import GenericUNet
 
     net = GenericUNet(num_classes=4, base_num_features=32, deep_supervision=False)
-    x = jnp.zeros((16, 256, 256, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(16, 256, 256, 1), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), x[:1])
     fps = _time(lambda v: net.apply(params, v), (x,), frames=16)
     print(json.dumps({"config": "unet2d_256_b16", "fps": round(fps, 1)}), flush=True)
@@ -55,7 +73,7 @@ def bench_unet3d():
         conv_kernel_sizes=((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)),
         deep_supervision=False,
     )
-    x = jnp.zeros((2, 16, 160, 160, 1))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 160, 160, 1), jnp.float32)
     params = net.init(jax.random.PRNGKey(0), x[:1])
     fps = _time(lambda v: net.apply(params, v), (x,), frames=2 * 16)  # slices/sec
     print(json.dumps({"config": "unet3d_16x160_b2", "fps_slices": round(fps, 1)}), flush=True)
@@ -69,7 +87,7 @@ def bench_raft():
     from csof_tpu.models.raft import RAFT
 
     model = RAFT(RaftModelConfig(iters=12))
-    a = jnp.zeros((224, 224, 1))
+    a = jnp.asarray(np.random.RandomState(0).rand(224, 224, 1), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), a, a)
     fps = _time(lambda x, y: model.apply(params, x, y)[-1], (a, a), frames=1)
     print(json.dumps({"config": "raft_224_12iters", "pairs_per_sec": round(fps, 2)}), flush=True)
@@ -82,7 +100,7 @@ def bench_voxelmorph():
     from csof_tpu.models.voxelmorph import VoxelMorph
 
     model = VoxelMorph()
-    m = jnp.zeros((16, 192, 192, 1))
+    m = jnp.asarray(np.random.RandomState(0).rand(16, 192, 192, 1), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), m[:1], m[:1])
     fps = _time(lambda a, b: model.apply(params, a, b)["flow"], (m, m), frames=16)
     print(json.dumps({"config": "voxelmorph_192_b16", "pairs_per_sec": round(fps, 1)}), flush=True)
