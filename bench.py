@@ -64,9 +64,10 @@ def main():
 
     # ACDC-like inference geometry: batch of depth slices x cine frames at
     # the 128^2 heart ROI (ref: video.yaml crop sizes; SegFlowGaussian.py:121-135).
-    # B=8 is the serving sweet spot with the batched Pallas corr kernel
-    # (534 fps vs 457 at B=4; docs/BENCHMARKS.md batch-scaling table)
-    batch, t, hw = 8, 12, 128
+    # B=16 is the round-3 serving sweet spot after the scan hoist + corr
+    # kernel v2 + bf16 attention (1381 fps vs 1271 at B=8, 1346 at B=32;
+    # docs/BENCHMARKS.md round-3 batch-scaling table)
+    batch, t, hw = 16, 12, 128
     rng = np.random.RandomState(0)
     videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
 

@@ -192,6 +192,66 @@ class StackedConvs(nn.Module):
         return x
 
 
+class ConvTranspose(nn.Module):
+    """Drop-in for flax `nn.ConvTranspose` in the kernel_size == strides,
+    padding=VALID case (the only one U-Net decoders use): computed as a
+    1x1-style matmul producing `prod(kernel) * features` channels followed
+    by a depth-to-space interleave.
+
+    Rationale (TPU): XLA lowers transposed convs via input dilation — the
+    2x2(x2) kernel then slides over a zero-dilated input, wasting
+    prod(kernel)x the useful MACs on zeros, with C_out=32 lanes. The matmul
+    form does exactly the useful FLOPs with prod(kernel)*C_out (>=128)
+    output lanes. Param name/shape/meaning are IDENTICAL to
+    nn.ConvTranspose ("kernel" (*k, C_in, C_out) + "bias"), so checkpoints
+    transfer both ways; tests/test_blocks.py pins exact output parity."""
+
+    features: int
+    kernel_size: Sequence[int]
+    strides: Sequence[int]
+    padding: str = "VALID"
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        k = tuple(self.kernel_size)
+        assert tuple(self.strides) == k and self.padding == "VALID", (
+            "fast ConvTranspose only implements kernel_size == strides, VALID"
+        )
+        ci = x.shape[-1]
+        w = self.param("kernel", self.kernel_init, (*k, ci, self.features), jnp.float32)
+        nd = len(k)
+        prod_k = 1
+        for f in k:
+            prod_k *= f
+        # flax's conv_transpose(transpose_kernel=False) scatters x[q]*w into
+        # y[s*q + r] at MIRRORED kernel offset: output position s*q + r
+        # reads kernel index (k-1-r) per axis (verified numerically vs
+        # nn.ConvTranspose; consistent with compat/torch_import.py:_tconv_w
+        # mirroring torch weights for flax).
+        w = w[(slice(None, None, -1),) * nd]
+        wf = w.reshape(prod_k, ci, self.features).astype(self.dtype)
+        y = jnp.einsum("...i,pio->...po", x.astype(self.dtype), wf)
+        # (N, *S, prod_k, C) -> (N, *S, *k, C) -> interleave each spatial
+        # axis with its kernel axis -> (N, *(S*k), C)
+        n = x.shape[0]
+        spatial = x.shape[1:-1]
+        y = y.reshape(n, *spatial, *k, self.features)
+        perm = [0]
+        for ax in range(nd):
+            perm.extend([1 + ax, 1 + nd + ax])
+        perm.append(1 + 2 * nd)
+        y = y.transpose(*perm)
+        y = y.reshape(n, *[s * f for s, f in zip(spatial, k)], self.features)
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def upsample_nearest(x: jnp.ndarray, factors: Sequence[int]) -> jnp.ndarray:
     """Nearest-neighbor upsampling of spatial dims (channels-last)."""
     for ax, f in enumerate(factors):

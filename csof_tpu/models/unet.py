@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from csof_tpu.config.plans import Plans, StagePlans
-from csof_tpu.models.blocks import ConvNormAct, StackedConvs
+from csof_tpu.models.blocks import ConvNormAct, ConvTranspose, StackedConvs
 
 MAX_FILTERS_2D = 480  # ref: generic_UNet.py:180
 MAX_FILTERS_3D = 320  # ref: generic_UNet.py:173
@@ -100,13 +100,17 @@ class GenericUNet(nn.Module):
         for u in range(num_pool):
             level = num_pool - 1 - u
             skip = skips[level]
-            x = nn.ConvTranspose(
+            # fast matmul+depth-to-space form of nn.ConvTranspose (exact;
+            # see blocks.ConvTranspose) — named to keep the param path
+            # identical to the flax auto-name so checkpoints transfer
+            x = ConvTranspose(
                 self.features_at(level),
                 kernel_size=tuple(self.pool_kernel_sizes[level]),
                 strides=tuple(self.pool_kernel_sizes[level]),
                 padding="VALID",
                 dtype=self.dtype,
                 kernel_init=nn.initializers.he_normal(),
+                name=f"ConvTranspose_{u}",
             )(x)
             x = jnp.concatenate([x, skip], axis=-1)
             # decoder kernels: the reference indexes conv_kernel_sizes[-(u+1)]

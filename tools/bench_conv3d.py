@@ -66,7 +66,14 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    x = jnp.asarray(rng.rand(*x_shape), jnp.bfloat16)
+    # Thread the state in f32 and cast to bf16 inside the step: a bf16
+    # state under the alternating (1+e)(1-e) jiggle rounds back to its
+    # exact starting bytes every 2 reps (1 - 2^-14 is not bf16-
+    # representable), and the backend's elision cache apparently keys on
+    # the large buffers only — so a period-2 cycle still reads as elided
+    # (the 13.8 TF/s "l0_133_c32_fwd" readings). f32 partial products
+    # never return to identical bytes.
+    x = jnp.asarray(rng.rand(*x_shape), jnp.float32)
     w = jnp.asarray(rng.rand(*w_shape) * 0.1, jnp.bfloat16)
 
     # chain CHAIN convs through a scalar data dependency so the timed
@@ -74,6 +81,7 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
     # through the timing loop so successive calls serialize too
     def f(x, w):
         total = jnp.float32(0.0)
+        x = x.astype(jnp.bfloat16)
         for _ in range(CHAIN):
             y = conv_nd(x, w, strides)
             s = jnp.sum(y.astype(jnp.float32))
@@ -90,7 +98,7 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
 
     def _scale(k, total):
         sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
-        return (1.0 + eps * sign + total * 1e-30).astype(jnp.bfloat16)
+        return 1.0 + eps * sign + total * 1e-30  # f32: applied to f32 state
 
     k0 = jnp.int32(0)
     if grad:

@@ -24,7 +24,7 @@ ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
 
 
 def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
-         loss_kind="dice_ce", remat_levels=None, remat=True):
+         loss_kind="dice_ce", remat_levels=None, remat=True, norm="instance"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -38,7 +38,7 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
     kernels = ((1, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3))
     net = GenericUNet(
         num_classes=3, base_num_features=32, pool_kernel_sizes=pools,
-        conv_kernel_sizes=kernels, deep_supervision=ds,
+        conv_kernel_sizes=kernels, deep_supervision=ds, norm=norm,
         dtype=jnp.dtype(dtype),
         remat=remat and not fwd_only,  # stored activations of the b2 f32-norm grad program were 62 GB
         remat_levels=remat_levels,
@@ -71,9 +71,23 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
 
     zero = jnp.float32(0.0)
     if fwd_only:
+        # The remote backend elides re-executions with byte-identical args
+        # (see tools/bench_conv3d.py): scale the f32 params by 1 +/- 2^-12
+        # alternating each rep so the state bytes provably change (f32
+        # partial products never cycle back, unlike bf16).
         @jax.jit
         def step(params, opt):
-            return params, opt, sum(o.sum() for o in net.apply(params, x))
+            outs = net.apply(params, x)
+            if not isinstance(outs, tuple):
+                outs = (outs,)
+            probe = sum(o.astype(jnp.float32).sum() for o in outs)
+            k = opt  # reuse the opt slot as an int32 rep counter
+            sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
+            scale = 1.0 + 2.0**-12 * sign + probe * 1e-30
+            params = jax.tree_util.tree_map(lambda p: p * scale, params)
+            return params, k + 1, probe
+
+        opt = jnp.int32(0)
     else:
         @jax.jit
         def step(params, opt):
@@ -102,7 +116,8 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
         + ("" if ds else "_nods")
         + ("" if loss_kind == "dice_ce" else f"_{loss_kind}")
         + ("" if remat_levels is None else f"_remat{remat_levels}")
-        + ("" if remat else "_noremat"),
+        + ("" if remat else "_noremat")
+        + ("" if norm == "instance" else f"_norm-{norm}"),
         "sec_per_iter": round(sec_per_iter, 3),
         "epoch_sec_v5e": round(epoch_sec, 1),
         "ref_epoch_sec_a100": REF_EPOCH_A100,
@@ -132,6 +147,8 @@ if __name__ == "__main__":
             kw["remat_levels"] = int(a[2:])
         elif a == "noremat":
             kw["remat"] = False
+        elif a.startswith("norm="):
+            kw["norm"] = a[5:]
         else:
             kw["batch"] = int(a)
     main(**kw)
