@@ -150,6 +150,15 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             kernel_init=nn.initializers.he_normal(),
         )(x)
+        # named checkpoint anchor for the selective-remat policy
+        # (GenericUNet remat_policy="save_conv"): under
+        # save_only_these_names, conv outputs are STORED for the backward
+        # pass while the cheap norm+activation epilogue is recomputed —
+        # no conv ever runs twice, unlike full remat (which re-executes
+        # the whole stack forward, ~2x the conv FLOPs of the step).
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "conv_out")
         # fused Pallas InstanceNorm+LeakyReLU epilogue (see
         # ops/pallas/norm_act.py). Env-gated, 2D-inference only (no custom
         # VJP yet). The fused path consumes the SAME InstanceNorm_0

@@ -52,6 +52,14 @@ class GenericUNet(nn.Module):
     #: (the high-res stages hold nearly all activation memory; storing the
     #: cheap deep stages avoids their recompute FLOPs). None = all levels.
     remat_levels: int | None = None
+    #: remat policy: "full" re-executes the whole conv stack in the
+    #: backward pass (max memory savings, ~2x the conv FLOPs);
+    #: "save_conv" stores every conv output (bf16) and recomputes only the
+    #: norm+activation epilogues — no conv ever runs twice, while the
+    #: f32 norm temps that caused the 3d_fullres OOM are still
+    #: rematerialized. At Task002 3d_fullres b=1 the saved conv outputs
+    #: total ~4.5 GB incl. lane padding (fits the v5e's 15.75 GB).
+    remat_policy: str = "full"
 
     def features_at(self, level: int) -> int:
         ndim = len(self.conv_kernel_sizes[0])
@@ -68,7 +76,18 @@ class GenericUNet(nn.Module):
             on = self.remat and (
                 self.remat_levels is None or level < self.remat_levels
             )
-            return nn.remat(StackedConvs) if on else StackedConvs
+            if not on:
+                return StackedConvs
+            if self.remat_policy == "save_conv":
+                import jax
+
+                return nn.remat(
+                    StackedConvs,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "conv_out"
+                    ),
+                )
+            return nn.remat(StackedConvs)
 
         skips = []
         # encoder: levels 0..num_pool-1 at stride 1 relative to their input,

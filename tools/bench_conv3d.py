@@ -1,16 +1,27 @@
 """Isolate 3D-conv kernel throughput at Task002 3d_fullres geometry.
 
-The epoch benchmark (tools/bench_epoch.py) achieves ~17 TF/s on the whole
-train step vs the ~49 TF/s MXU ceiling for C_out=32 convs (output channels
-tile 32/128 lanes). This probe measures individual convs of the U-Net's
-full-res stages to find where between 17 and 49 the kernels actually land,
-and which reformulations help:
+The epoch benchmark (tools/bench_epoch.py) achieves ~19 TF/s (logical) on
+the whole train step. With C_out=32 the MXU's 128-lane output tile is 25%
+occupied, so the *logical* ceiling for the full-res stages is ~49 TF/s on a
+197 TF/s v5e — this probe measures where individual convs actually land and
+which reformulations help:
 
   fwd          conv forward only
-  grad         value_and_grad of sum(conv(x)) wrt (x, w)  (input+weight grads)
+  grad         value_and_grad of mean(conv(x)^2) wrt (x, w)
   z2d          the (1,3,3) conv recast as 2D conv with z folded into batch
-  wide         same spatial volume with C=128 (the occupancy control)
-  tconv        the decoder's stride-(1,2,2)/(2,2,2) ConvTranspose
+  c128         same spatial volume with C=128 (the occupancy control)
+
+Probe-honesty rules (hard-won; see the axon-benchmark-elision memory note):
+- the chain must feed each conv's OUTPUT into the next conv's input
+  (y = conv(y)): a scalar-rescaled-input chain collapses via linearity
+  (conv(x*c) = c*conv(x)) and XLA executes ONE conv for the whole chain;
+- when in/out shapes differ, the feedback must be an elementwise (per-pixel)
+  factor derived from y — scalar factors collapse the same way;
+- grad probes need a QUADRATIC loss: grad of sum(conv(x)) has an all-ones
+  cotangent and both dgrad/wgrad simplify to cheap window sums;
+- block_until_ready once after the rep loop (it synchronizes correctly;
+  per-rep sync costs ~25 ms of tunnel round-trip);
+- sanity-check: nothing real reads above the 197 TF/s bf16 peak.
 
 Usage: python tools/bench_conv3d.py [case ...]   (default: all)
 """
@@ -30,13 +41,7 @@ PATCH = (80, 192, 160)
 PEAK_BF16_TFLOPS = 197.0  # v5e
 
 
-def _time_state(step, state, reps=10):
-    """Time a state-threading step whose state provably CHANGES BYTES every
-    rep. The remote backend elides repeated executions whose (program, args)
-    are byte-identical — both independent identical calls AND state-threaded
-    steps that return their inputs unchanged read as ~0 time (the 34 PFLOP/s
-    readings of the first probe versions). bench_epoch.py times honestly
-    because SGD genuinely mutates params each rep; this mirrors that."""
+def _time_state(step, state, reps=8):
     import jax
 
     state = step(*state)
@@ -58,7 +63,7 @@ def conv_nd(x, w, strides=None):
     )
 
 
-CHAIN = 8  # sequential convs per timed call (data-dependent, can't overlap)
+CHAIN = 8  # sequential convs per timed call (output-chained, can't collapse)
 
 
 def run_case(name, x_shape, w_shape, strides=None, grad=False):
@@ -66,39 +71,37 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
     import jax.numpy as jnp
 
     rng = np.random.RandomState(0)
-    # Thread the state in f32 and cast to bf16 inside the step: a bf16
-    # state under the alternating (1+e)(1-e) jiggle rounds back to its
-    # exact starting bytes every 2 reps (1 - 2^-14 is not bf16-
-    # representable), and the backend's elision cache apparently keys on
-    # the large buffers only — so a period-2 cycle still reads as elided
-    # (the 13.8 TF/s "l0_133_c32_fwd" readings). f32 partial products
-    # never return to identical bytes.
     x = jnp.asarray(rng.rand(*x_shape), jnp.float32)
     w = jnp.asarray(rng.rand(*w_shape) * 0.1, jnp.bfloat16)
+    chainable = w_shape[-2] == w_shape[-1] and not strides
 
-    # chain CHAIN convs through a scalar data dependency so the timed
-    # program contains CHAIN serialized real convs, and thread (x, w)
-    # through the timing loop so successive calls serialize too
     def f(x, w):
-        total = jnp.float32(0.0)
-        x = x.astype(jnp.bfloat16)
+        y = x.astype(jnp.bfloat16)
+        tot = jnp.float32(0.0)
         for _ in range(CHAIN):
-            y = conv_nd(x, w, strides)
-            s = jnp.sum(y.astype(jnp.float32))
-            total = total + s
-            x = x * (1 + s * 0).astype(x.dtype)  # numerically x; forces ordering
-        return total
+            out = conv_nd(y, w, strides)
+            s = jnp.mean(jnp.square(out.astype(jnp.float32)))
+            tot = tot + s
+            if chainable:
+                # renormalize so magnitudes stay O(1) through the chain
+                y = out * jax.lax.rsqrt(jnp.maximum(s, 1e-6)).astype(out.dtype)
+            else:
+                # shapes differ: fold an elementwise (per-pixel, channel-mean)
+                # factor of the output back into the input — a SCALAR factor
+                # would collapse the chain via conv linearity
+                fb = jnp.tanh(jnp.mean(out.astype(jnp.float32), axis=-1, keepdims=True))
+                for ax, st in enumerate(strides or ()):
+                    if st != 1:
+                        fb = jnp.repeat(fb, st, axis=ax + 1)
+                fb = fb[tuple(slice(0, d) for d in y.shape[:-1])]
+                y = y * (1.0 + 0.001 * fb).astype(y.dtype)
+        return tot
 
-    # per-rep multiplicative jiggle: scale x by 1 ± 2^-7 alternating (bf16-
-    # representable, so the bytes of x provably change each rep; alternating
-    # keeps |x| stable: (1+a)(1-a) = 1-a^2). The scalar probe result is
-    # folded in at 1e-30 relative weight to keep the chain consumed without
-    # perturbing the magnitude.
     eps = 2.0 ** -7
 
     def _scale(k, total):
         sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
-        return 1.0 + eps * sign + total * 1e-30  # f32: applied to f32 state
+        return 1.0 + eps * sign + total * 1e-30
 
     k0 = jnp.int32(0)
     if grad:
@@ -127,6 +130,8 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
         "mfu_pct": round(flops / sec / 1e12 / PEAK_BF16_TFLOPS * 100, 1),
         "ceiling_pct_of_peak": round(min(w_shape[-1], 128) / 128 * 100, 1),
     }
+    if rec["tflops"] > PEAK_BF16_TFLOPS:
+        rec["BROKEN_PROBE"] = "reads above hardware peak"
     print(json.dumps(rec), flush=True)
     return rec
 

@@ -24,7 +24,8 @@ ITERS_PER_EPOCH = 250  # ref: network_trainer.py:109
 
 
 def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
-         loss_kind="dice_ce", remat_levels=None, remat=True, norm="instance"):
+         loss_kind="dice_ce", remat_levels=None, remat=True, norm="instance",
+         remat_policy="full"):
     import jax
     import jax.numpy as jnp
     import optax
@@ -42,6 +43,7 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
         dtype=jnp.dtype(dtype),
         remat=remat and not fwd_only,  # stored activations of the b2 f32-norm grad program were 62 GB
         remat_levels=remat_levels,
+        remat_policy=remat_policy,
     )
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.rand(batch, *patch, 1), jnp.float32)
@@ -117,6 +119,7 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
         + ("" if loss_kind == "dice_ce" else f"_{loss_kind}")
         + ("" if remat_levels is None else f"_remat{remat_levels}")
         + ("" if remat else "_noremat")
+        + ("" if remat_policy == "full" else f"_{remat_policy}")
         + ("" if norm == "instance" else f"_norm-{norm}"),
         "sec_per_iter": round(sec_per_iter, 3),
         "epoch_sec_v5e": round(epoch_sec, 1),
@@ -147,6 +150,8 @@ if __name__ == "__main__":
             kw["remat_levels"] = int(a[2:])
         elif a == "noremat":
             kw["remat"] = False
+        elif a == "saveconv":
+            kw["remat_policy"] = "save_conv"
         elif a.startswith("norm="):
             kw["norm"] = a[5:]
         else:
