@@ -86,9 +86,18 @@ def main():
         from csof_tpu.utils.autotune import jiggle_term
 
         @jax.jit
-        def forward(videos, jiggle):
+        def forward(videos, rep, jiggle):
             out = jax.vmap(lambda v: model.apply(params, v))(videos)
-            return out["seg_logits"] + jiggle_term(jiggle, k), out["cum_flow"]
+            # Timing honesty (measured, see tools/_timing.py): on the axon
+            # remote backend jax.block_until_ready sometimes returns before
+            # execution finishes, so the timing loop must (a) thread state
+            # so each rep's program depends on the previous rep's OUTPUT,
+            # and (b) synchronize with a host fetch of the final state —
+            # real bytes cannot be returned early. The input video is
+            # threaded through a magnitude-stable alternating rescale.
+            sign = 1.0 - 2.0 * (rep % 2).astype(jnp.float32)
+            videos = videos * (1.0 + 2.0**-7 * sign)
+            return videos, rep + 1, out["seg_logits"] + jiggle_term(jiggle, k), out["cum_flow"]
 
         return forward
 
@@ -96,12 +105,13 @@ def main():
     per_draw_fps = []
     for k in range(draws):
         fwd = make_forward(k)
-        seg, flow = fwd(videos, zero)  # warmup / compile
-        jax.block_until_ready((seg, flow))
+        v, r = videos, jnp.int32(0)
+        v, r, seg, flow = fwd(v, r, zero)  # warmup / compile
+        np.asarray(seg[0, 0, 0, 0])  # drain warmup fully (fetch-sync)
         t0 = time.perf_counter()
         for _ in range(reps):
-            seg, flow = fwd(videos, zero)
-        jax.block_until_ready((seg, flow))
+            v, r, seg, flow = fwd(v, r, zero)
+        np.asarray(seg[0, 0, 0, 0])  # forces the whole rep chain
         dt = time.perf_counter() - t0
         per_draw_fps.append(batch * t * reps / dt)
 

@@ -48,12 +48,13 @@ def autotune_step(
     make_step(draw) -> a jittable/jitted callable (closing over jiggle_term
     with the given draw index). args_fn() -> fresh call args (the step may
     donate or mutate state, so args are rebuilt per draw). sync(out) should
-    block on the output (default: jax.block_until_ready).
+    force execution of the output (default: utils.profiling.fetch_sync —
+    jax.block_until_ready is unreliable on the axon backend).
     """
-    import jax
-
     if sync is None:
-        sync = jax.block_until_ready
+        from csof_tpu.utils.profiling import fetch_sync
+
+        sync = fetch_sync
     records, best = [], None
     for k in range(draws):
         step = make_step(k)
@@ -65,7 +66,7 @@ def autotune_step(
         t0 = time.perf_counter()
         for _ in range(reps):
             out = step(*args)
-        sync(out)
+            sync(out)
         dt = (time.perf_counter() - t0) / reps
         rec = {"draw": k, "sec_per_iter": dt, "compile_s": compile_s}
         records.append(rec)

@@ -40,20 +40,47 @@ def estimate_flops(fn, *args) -> float | None:
         return None
 
 
+def fetch_sync(tree) -> None:
+    """Host-fetch one small element of `tree` — the only reliable
+    synchronization on the remote axon backend, where block_until_ready
+    sometimes returns before execution finishes (measured; tools/_timing.py
+    has the full story). Real bytes cannot be returned early, and an XLA
+    executable's outputs materialize together."""
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if hasattr(leaf, "ndim"):
+            np.asarray(leaf[(0,) * leaf.ndim] if leaf.ndim else leaf)
+            return
+
+
 def get_throughput(
     fn, args, frames_per_call: int, warmup: int = 2, reps: int = 20
 ) -> dict:
     """Steady-state frames/sec of a jitted callable
     (protocol of ref: nnMTLTrainerV2.py:951-977, device-agnostic timing via
-    block_until_ready instead of CUDA events)."""
+    host-fetch sync instead of CUDA events).
+
+    Reps are chained through an output accumulator so each rep's result is
+    consumed downstream, and the loop is closed with a host fetch — the
+    honest-timing pattern for the axon backend (see fetch_sync)."""
     jfn = jax.jit(fn)
     for _ in range(warmup):
         out = jfn(*args)
-    jax.block_until_ready(out)
+    fetch_sync(out)
+
+    def _chain(acc, out):
+        if acc is None:
+            return out
+        return jax.tree_util.tree_map(
+            lambda a, b: a + b if hasattr(a, "ndim") else a, acc, out
+        )
+
     t0 = time.perf_counter()
+    acc = None
     for _ in range(reps):
-        out = jfn(*args)
-    jax.block_until_ready(out)
+        acc = _chain(acc, jfn(*args))
+    fetch_sync(acc)
     dt = time.perf_counter() - t0
     fps = frames_per_call * reps / dt
     flops = estimate_flops(fn, *args)

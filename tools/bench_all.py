@@ -18,11 +18,11 @@ import numpy as np
 
 
 def _time(fn, args, frames, reps=10):
-    """Timing that provably mutates the first argument's bytes every rep
-    (multiplicative 1 +/- 2^-7 jiggle + consumed output probe): the remote
-    backend elides re-executions with byte-identical (program, args), so the
-    naive call-in-a-loop pattern can read impossibly fast. Inputs must be
-    NONZERO for the jiggle to change bytes."""
+    """State-threaded, fetch-synchronized timing (tools/_timing.py): each
+    rep's program consumes the previous rep's output, and the end-of-loop
+    host fetch forces the whole chain to actually execute —
+    jax.block_until_ready is unreliable on the axon backend. Inputs must be
+    NONZERO so the probe keeps the outputs alive."""
     import jax
     import jax.numpy as jnp
 
@@ -38,13 +38,15 @@ def _time(fn, args, frames, reps=10):
         scale = (1.0 + 2.0**-7 * sign + probe * 1e-30).astype(x.dtype)
         return x * scale, k + 1
 
+    from tools._timing import fetch
+
     st = (x0, jnp.int32(0))
     st = step(*st)
-    jax.block_until_ready(st)
+    fetch(st)
     t0 = time.perf_counter()
     for _ in range(reps):
         st = step(*st)
-    jax.block_until_ready(st)
+    fetch(st)
     return frames * reps / (time.perf_counter() - t0)
 
 

@@ -19,8 +19,9 @@ Probe-honesty rules (hard-won; see the axon-benchmark-elision memory note):
   factor derived from y — scalar factors collapse the same way;
 - grad probes need a QUADRATIC loss: grad of sum(conv(x)) has an all-ones
   cotangent and both dgrad/wgrad simplify to cheap window sums;
-- block_until_ready once after the rep loop (it synchronizes correctly;
-  per-rep sync costs ~25 ms of tunnel round-trip);
+- jax.block_until_ready is UNRELIABLE on this backend (sometimes returns
+  before execution finishes): sync with a host FETCH of the threaded final
+  state, once after the rep loop (tools/_timing.py);
 - sanity-check: nothing real reads above the 197 TF/s bf16 peak.
 
 Usage: python tools/bench_conv3d.py [case ...]   (default: all)
@@ -42,15 +43,9 @@ PEAK_BF16_TFLOPS = 197.0  # v5e
 
 
 def _time_state(step, state, reps=8):
-    import jax
+    from tools._timing import time_state
 
-    state = step(*state)
-    jax.block_until_ready(state)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        state = step(*state)
-    jax.block_until_ready(state)
-    return (time.perf_counter() - t0) / reps
+    return time_state(step, state, reps)
 
 
 def conv_nd(x, w, strides=None):

@@ -102,13 +102,16 @@ def main(dtype="bfloat16", batch=2, fwd_only=False, draw=0, ds=True,
         flops = step.lower(params, opt).compile().cost_analysis().get("flops")
     except Exception:
         pass
+    # fetch-synchronized timing: block_until_ready is unreliable on the
+    # axon backend (tools/_timing.py); the loss fetch forces the whole
+    # state-threaded chain to actually execute
     params, opt, loss = step(params, opt)
-    jax.block_until_ready(loss)
+    float(loss)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         params, opt, loss = step(params, opt)
-    jax.block_until_ready(loss)
+    float(loss)
     sec_per_iter = (time.perf_counter() - t0) / reps * (2 / batch)
     epoch_sec = sec_per_iter * ITERS_PER_EPOCH
     rec = {

@@ -32,21 +32,26 @@ def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5, draws=1, ablate
 
     def make_forward(k):
         @jax.jit
-        def forward(videos, jiggle):
+        def forward(videos, rep, jiggle):
             out = jax.vmap(lambda v: model.apply(params, v))(videos)
-            return out["seg_logits"] + jiggle_term(jiggle, k), out["cum_flow"]
+            # state-threaded, fetch-synchronized timing (tools/_timing.py):
+            # block_until_ready is unreliable on the axon backend
+            sign = 1.0 - 2.0 * (rep % 2).astype(jnp.float32)
+            videos = videos * (1.0 + 2.0**-7 * sign)
+            return videos, rep + 1, out["seg_logits"] + jiggle_term(jiggle, k), out["cum_flow"]
 
         return forward
 
     per_draw = []
     for k in range(draws):
         forward = make_forward(k)
-        out = forward(videos, zero)
-        jax.block_until_ready(out)
+        v, r = videos, jnp.int32(0)
+        v, r, seg, flow = forward(v, r, zero)
+        np.asarray(seg[0, 0, 0, 0])
         t0 = time.perf_counter()
         for _ in range(reps):
-            out = forward(videos, zero)
-        jax.block_until_ready(out)
+            v, r, seg, flow = forward(v, r, zero)
+        np.asarray(seg[0, 0, 0, 0])
         dt = time.perf_counter() - t0
         per_draw.append(batch * t * reps / dt)
     fps = max(per_draw)

@@ -21,6 +21,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import numpy as np
 
+from tools._timing import fetch
+
 
 def main(t=12, b=8, hw=128, c=32, reps=10):
     import jax
@@ -43,18 +45,17 @@ def main(t=12, b=8, hw=128, c=32, reps=10):
         @jax.jit
         def step(x, k):
             out, _ = jax.lax.scan(body, x, None, length=t, unroll=unroll)
-            # real per-rep mutation: scale by 1 +/- 2^-7 so the remote
-            # backend cannot elide repeated executions (byte-identical args)
+            # thread state so the end-of-loop fetch forces every rep
             sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
             return out * (1 + 2.0**-7 * sign).astype(out.dtype), k + 1
 
         st = (x, jnp.int32(0))
         st = step(*st)
-        jax.block_until_ready(st)
+        fetch(st)
         t0 = time.perf_counter()
         for _ in range(reps):
             st = step(*st)
-        jax.block_until_ready(st)
+        fetch(st)
         ms = (time.perf_counter() - t0) / reps * 1e3
         flops = 2 * t * b * hw * hw * 9 * c * c
         print(json.dumps({"name": name, "ms": round(ms, 3),
@@ -73,11 +74,11 @@ def main(t=12, b=8, hw=128, c=32, reps=10):
 
         st = (jnp.float32(1.0), jnp.int32(0))
         st = step(*st)
-        jax.block_until_ready(st)
+        fetch(st)
         t0 = time.perf_counter()
         for _ in range(reps):
             st = step(*st)
-        jax.block_until_ready(st)
+        fetch(st)
         ms = (time.perf_counter() - t0) / reps * 1e3
         print(json.dumps({"name": name, "ms": round(ms, 3)}), flush=True)
 
