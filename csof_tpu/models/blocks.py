@@ -121,6 +121,73 @@ def make_norm(kind: str, **kw):
     raise ValueError(f"unknown norm kind {kind!r}")
 
 
+class Conv3dVia2D(nn.Module):
+    """3D convolution computed as kz z-shifted batched 2D convolutions.
+
+    Mathematically EXACT (y[z] = sum_dz conv2d(x[z*sz+dz-pad], W[dz])) with
+    identical FLOPs — but measured 3-7.5x faster than XLA's native 3D conv
+    lowering on the TPU backend (tools/bench_conv3d.py, honest fetch-sync
+    timing: the (1,3,3)-kernel conv at Task002 3d_fullres geometry runs at
+    26.8/29.0 TF/s fwd/grad as a 2D conv vs 8.9/3.9 as a kz=1 3D conv; the
+    z axis folds into the conv batch, B*D=80-160 images per call). Param
+    name ("kernel"/"bias") and shape ((kz,ky,kx,ci,co)) are IDENTICAL to
+    nn.Conv, so checkpoints transfer both ways.
+    """
+
+    features: int
+    kernel_size: Sequence[int]  # (kz, ky, kx)
+    strides: Sequence[int] | None = None
+    padding: Sequence[tuple] | None = None  # per-axis (lo, hi); None = odd-SAME
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kz, ky, kx = self.kernel_size
+        sz, sy, sx = tuple(self.strides) if self.strides else (1, 1, 1)
+        pads = (
+            [((k - 1) // 2, k // 2) for k in self.kernel_size]
+            if self.padding is None
+            else [tuple(p) for p in self.padding]
+        )
+        ci = x.shape[-1]
+        w = self.param(
+            "kernel", self.kernel_init, (kz, ky, kx, ci, self.features), jnp.float32
+        )
+        w = w.astype(self.dtype)
+        x = x.astype(self.dtype)
+        n, d, h, wd, _ = x.shape
+        if pads[0] != (0, 0):
+            x = jnp.pad(x, ((0, 0), pads[0], (0, 0), (0, 0), (0, 0)))
+        d_pad = x.shape[1]
+        d_out = (d_pad - kz) // sz + 1
+        y = None
+        for dz in range(kz):
+            xs = jax.lax.slice_in_dim(x, dz, dz + (d_out - 1) * sz + 1, 1, axis=1)
+            if sz > 1:
+                xs = xs[:, ::sz]
+            xs = xs.reshape(n * d_out, h, wd, ci)
+            yz = jax.lax.conv_general_dilated(
+                xs, w[dz], (sy, sx), [pads[1], pads[2]],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=self.dtype,
+            )
+            y = yz if y is None else y + yz
+        y = y.reshape(n, d_out, *y.shape[1:])
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def _conv3d_via_2d_enabled() -> bool:
+    import os
+
+    return os.environ.get("CSOF_CONV3D_IMPL", "2d") == "2d"
+
+
 class ConvNormAct(nn.Module):
     """conv -> norm -> activation (ref: ConvDropoutNormNonlin,
     generic_UNet.py:26-69; dropout p=0 in the V2 recipe so omitted)."""
@@ -142,14 +209,29 @@ class ConvNormAct(nn.Module):
             ((k - 1) // 2, k // 2)
             for k in self.kernel_size
         ]
-        x = nn.Conv(
-            self.features,
-            kernel_size=tuple(self.kernel_size),
-            strides=tuple(self.strides) if self.strides else None,
-            padding=pad,
-            dtype=self.dtype,
-            kernel_init=nn.initializers.he_normal(),
-        )(x)
+        if len(self.kernel_size) == 3 and _conv3d_via_2d_enabled():
+            # 3D convs recast as z-shifted batched 2D convs (see
+            # Conv3dVia2D): exact same math/params, 3-7.5x faster on TPU.
+            # name="Conv_0" keeps the param path identical to the nn.Conv
+            # branch so checkpoints transfer regardless of the env flag.
+            x = Conv3dVia2D(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(self.strides) if self.strides else None,
+                padding=pad,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                name="Conv_0",
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                strides=tuple(self.strides) if self.strides else None,
+                padding=pad,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+            )(x)
         # named checkpoint anchor for the selective-remat policy
         # (GenericUNet remat_policy="save_conv"): under
         # save_only_these_names, conv outputs are STORED for the backward

@@ -164,18 +164,28 @@ def unet_from_plans(
     deep_supervision: bool = True,
     dtype=jnp.float32,
     remat: bool | None = None,
+    remat_policy: str | None = None,
 ) -> GenericUNet:
     """Build the network exactly as the plans prescribe
     (ref: nnUNetTrainerV2.initialize_network, nnUNetTrainerV2.py:136-170).
 
     remat=None auto-enables rematerialization for 3D plans: full-res 3D
     training patches OOM the v5e's 15.75 GB HBM without it (see
-    GenericUNet.remat), while 2D geometries fit comfortably. Param trees are
-    identical either way (nn.remat is a lifted transform), so checkpoints
-    transfer between settings."""
+    GenericUNet.remat), while 2D geometries fit comfortably.  For those 3D
+    plans the policy defaults to "save_conv" (store conv outputs, recompute
+    only norm+act): measured 2x faster than full remat at Task002 3d_fullres
+    (80.3 vs 161.7 s/epoch b1, tools/bench_epoch.py) at a memory cost that
+    still fits. Param trees are identical either way (nn.remat is a lifted
+    transform), so checkpoints transfer between settings."""
     sp: StagePlans = plans.stage(stage) if stage is not None else plans.fullres_stage()
     if remat is None:
         remat = len(sp.conv_kernel_sizes[0]) == 3
+    if remat_policy is None:
+        import os
+
+        remat_policy = os.environ.get(
+            "CSOF_REMAT_POLICY", "save_conv" if remat else "full"
+        )
     return GenericUNet(
         num_classes=plans.num_classes_with_background,
         base_num_features=plans.base_num_features,
@@ -185,4 +195,5 @@ def unet_from_plans(
         deep_supervision=deep_supervision,
         dtype=dtype,
         remat=remat,
+        remat_policy=remat_policy,
     )

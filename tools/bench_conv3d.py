@@ -131,6 +131,91 @@ def run_case(name, x_shape, w_shape, strides=None, grad=False):
     return rec
 
 
+def pack_w_shift(w, P):
+    """Shift-pack a (ky,kx,ci,co) kernel along x: P output columns become
+    P*co 'virtual output channels' of a stride-P conv with kernel kx+P-1.
+
+    y[b,h,P*j+dx,co] == conv(x,w)[b,h,P*j+dx,co] computed as output channel
+    (dx,co) of conv(x, w_packed, strides=(1,P), padding=((pad,pad),(pad,pad)))
+    at (h,j): w_packed[ky,kx',ci,dx*co_n+co] = w[ky,kx'-dx,ci,co].  EXACT;
+    inflates kernel-x FLOPs by (kx+P-1)/kx but fills P*co of the MXU's 128
+    output lanes (co=32, P=4 -> 2x FLOPs for 4x lane occupancy)."""
+    import jax.numpy as jnp
+
+    ky, kx, ci, co = w.shape
+    wp = jnp.zeros((ky, kx + P - 1, ci, P, co), w.dtype)
+    for dx in range(P):
+        wp = wp.at[:, dx : dx + kx, :, dx, :].set(w)
+    return wp.reshape(ky, kx + P - 1, ci, P * co)
+
+
+def run_xpack_case(name, x_shape, w_shape, P=4, grad=False):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    b, h, wd, c = x_shape
+    ky, kx, ci, co = w_shape
+    assert wd % P == 0 and kx == 3
+    x = jnp.asarray(rng.rand(*x_shape), jnp.float32)
+    w = jnp.asarray(rng.rand(*w_shape) * 0.1, jnp.bfloat16)
+    pad = (kx - 1) // 2
+
+    def one(y, w):
+        wp = pack_w_shift(w, P)
+        out = jax.lax.conv_general_dilated(
+            y, wp, (1, P), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out.reshape(b, h, wd // P, P, co).reshape(b, h, wd, co)
+
+    def f(x, w):
+        y = x.astype(jnp.bfloat16)
+        tot = jnp.float32(0.0)
+        for _ in range(CHAIN):
+            out = one(y, w)
+            s = jnp.mean(jnp.square(out.astype(jnp.float32)))
+            tot = tot + s
+            y = out * jax.lax.rsqrt(jnp.maximum(s, 1e-6)).astype(out.dtype)
+        return tot
+
+    eps = 2.0 ** -7
+
+    def _scale(k, total):
+        sign = 1.0 - 2.0 * (k % 2).astype(jnp.float32)
+        return 1.0 + eps * sign + total * 1e-30
+
+    k0 = jnp.int32(0)
+    if grad:
+        vg = jax.value_and_grad(f, argnums=(0, 1))
+
+        @jax.jit
+        def step(x, w, k):
+            loss, (dx, dw) = vg(x, w)
+            probe = loss + jnp.sum(dx.astype(jnp.float32)) + jnp.sum(dw.astype(jnp.float32))
+            return x * _scale(k, probe), w, k + 1
+
+    else:
+
+        @jax.jit
+        def step(x, w, k):
+            return x * _scale(k, f(x, w)), w, k + 1
+
+    sec = _time_state(step, (x, w, k0)) / CHAIN
+    # report USEFUL flops (the logical conv), so numbers compare directly
+    # against the unpacked cases; the packed op executes (kx+P-1)/kx more
+    macs = b * h * wd * ky * kx * ci * co
+    flops = 2 * macs * (3 if grad else 1)
+    rec = {
+        "case": name, "ms": round(sec * 1e3, 3),
+        "tflops_useful": round(flops / sec / 1e12, 1),
+        "mfu_pct": round(flops / sec / 1e12 / PEAK_BF16_TFLOPS * 100, 1),
+        "inflate": round((kx + P - 1) / kx, 2),
+    }
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
 def main(cases):
     d, h, w = PATCH
     all_cases = {
@@ -150,6 +235,13 @@ def main(cases):
         "l2_333_c128_grad": lambda: run_case("l2_333_c128_grad", (1, d // 2, h // 4, w // 4, 128), (3, 3, 3, 128, 128), grad=True),
         # strided encoder downsample conv
         "l01_down_grad": lambda: run_case("l01_down_grad", (1, d, h, w, 32), (3, 3, 3, 32, 64), strides=(1, 2, 2), grad=True),
+        # shift-packed output channels along x (z folded into batch):
+        # C=32, P=4 -> 128 lanes, 2x FLOP inflation, net ~2x hoped
+        "l0_xpack4_fwd": lambda: run_xpack_case("l0_xpack4_fwd", (d, h, w, 32), (3, 3, 32, 32), P=4),
+        "l0_xpack4_grad": lambda: run_xpack_case("l0_xpack4_grad", (d, h, w, 32), (3, 3, 32, 32), P=4, grad=True),
+        "l0_xpack2_grad": lambda: run_xpack_case("l0_xpack2_grad", (d, h, w, 32), (3, 3, 32, 32), P=2, grad=True),
+        # C=64 half-res with P=2 (128 lanes, 1.33x inflation)
+        "l1_xpack2_grad": lambda: run_xpack_case("l1_xpack2_grad", (d // 2, h // 2, w // 2, 64), (3, 3, 64, 64), P=2, grad=True),
     }
     for k in (cases or all_cases):
         all_cases[k]()
