@@ -99,6 +99,9 @@ class SegFlowModelConfig:
     # are layout-constrained by the loop boundary and measured 3-5x slower
     # than the identical convs outside it (docs/BENCHMARKS.md round 3);
     # unrolling restores the compiler's freedom at the cost of compile time.
+    # scan_unroll >= T switches to a plain Python loop over frames (no
+    # lax.scan at all — no while op, no loop-boundary layout constraints);
+    # params are identical to the scan path (one shared SegFlowStep).
     scan_unroll: int = 1
     dtype: str = "bfloat16"
 

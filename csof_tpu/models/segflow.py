@@ -375,18 +375,41 @@ class SegFlow(nn.Module):
         # scan over ALL frames (frame 0 included with an identity flow step);
         # optional remat trades recompute for T-x activation memory
         step_cls = nn.remat(SegFlowStep) if cfg.remat else SegFlowStep
-        scan = nn.scan(
-            step_cls,
-            variable_broadcast="params",
-            variable_axes={"intermediates": 0},  # stack sown maps over T
-            split_rngs={"params": False},
-            in_axes=0,
-            out_axes=0,
-            unroll=min(cfg.scan_unroll, t),
-        )(cfg=cfg, num_classes=self.num_classes)
         if distance is None:
             distance = jnp.zeros((t,), jnp.float32)
-        _, outs = scan(carry0, (video, tuple(q_skips_t), jnp.arange(t), distance))
+        if cfg.scan_unroll >= t:
+            # fully-unrolled temporal loop: T is small and static (<=~40
+            # cine frames), so a plain Python loop gives XLA a straight-line
+            # program with no while-op layout constraints at all. One shared
+            # step module, explicitly named to match the nn.scan path's
+            # auto-name => the param tree is IDENTICAL (nn.scan broadcasts
+            # params; checkpoints transfer both ways).
+            name = (
+                "ScanCheckpointSegFlowStep_0" if cfg.remat else "ScanSegFlowStep_0"
+            )
+            step = step_cls(cfg=cfg, num_classes=self.num_classes, name=name)
+            carry, per_t = carry0, []
+            for i in range(t):
+                carry, o = step(
+                    carry,
+                    (video[i], tuple(s[i] for s in q_skips_t),
+                     jnp.int32(i), distance[i]),
+                )
+                per_t.append(o)
+            outs = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs, axis=0), *per_t
+            )
+        else:
+            scan = nn.scan(
+                step_cls,
+                variable_broadcast="params",
+                variable_axes={"intermediates": 0},  # stack sown maps over T
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+                unroll=min(cfg.scan_unroll, t),
+            )(cfg=cfg, num_classes=self.num_classes)
+            _, outs = scan(carry0, (video, tuple(q_skips_t), jnp.arange(t), distance))
         outs["seg_logits"] = seg_logits
         if cfg.deep_supervision:
             outs["seg_ds"] = seg_ds

@@ -87,6 +87,14 @@ SWEEPS = {
         ("unroll12_b8", {"scan_unroll": 12}, dict(batch=8, draws=2)),
         ("unroll12_b16", {"scan_unroll": 12}, dict(batch=16, draws=2)),
     ],
+    # scan_unroll >= T now means a plain Python loop over frames (no
+    # lax.scan op at all) — measure it across batches vs the scan path
+    "unrollloop": [
+        ("loop_b8", {"scan_unroll": 99}, dict(batch=8, draws=3)),
+        ("loop_b16", {"scan_unroll": 99}, dict(batch=16, draws=3)),
+        ("loop_b32", {"scan_unroll": 99}, dict(batch=32, draws=3)),
+        ("scan_b16", {}, dict(batch=16, draws=3)),
+    ],
     # per-component time attribution inside the scan (CSOF_SEGFLOW_ABLATE
     # diagnostic hook): each row removes ONE recurrent-path component
     "isolate": [
