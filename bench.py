@@ -59,15 +59,15 @@ def main():
     from csof_tpu.config.experiment import SegFlowModelConfig
     from csof_tpu.models.segflow import SegFlow
 
-    cfg = SegFlowModelConfig()  # flagship defaults (bf16 compute)
-    model = SegFlow(cfg=cfg, num_classes=4)
-
     # ACDC-like inference geometry: batch of depth slices x cine frames at
     # the 128^2 heart ROI (ref: video.yaml crop sizes; SegFlowGaussian.py:121-135).
-    # B=16 is the round-3 serving sweet spot after the scan hoist + corr
-    # kernel v2 + bf16 attention (1381 fps vs 1271 at B=8, 1346 at B=32;
-    # docs/BENCHMARKS.md round-3 batch-scaling table)
-    batch, t, hw = 16, 12, 128
+    # Serving config from the round-3 servepick sweep (tools/bench_explore.py):
+    # B=8 with the temporal scan body fully unrolled (scan_unroll == T; the
+    # while-op boundary pins layouts and costs ~15% — 1459-1484 f/s vs 1271
+    # rolled at B=8; B=12/16/24 all measured slower than B=8 unrolled).
+    batch, t, hw = 8, 12, 128
+    cfg = SegFlowModelConfig(scan_unroll=t)  # flagship defaults (bf16 compute)
+    model = SegFlow(cfg=cfg, num_classes=4)
     rng = np.random.RandomState(0)
     videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
 

@@ -85,6 +85,11 @@ class SegFlowModelConfig:
     #             trading a little capacity for a much smaller fuse conv
     corr_fuse: Literal["concat", "split", "project", "mean1"] = "concat"
     use_gru: bool = True
+    # decoder upsample: "expand" = the reference's PatchExpand
+    # (ConvTranspose(2,2)+GN+GELU, ref: nnunet/lib/utils.py:1982) in the
+    # fast matmul+depth-to-space form; "linear" = bilinear resize (round-2
+    # shape, kept for old checkpoints)
+    dec_upsample: Literal["expand", "linear"] = "expand"
     # per-scale auxiliary decoder heads, weighted 1/2^i in the loss
     # (ref: video.yaml `deep_supervision`; decoder DS heads at
     # ref: nnunet/lib/decoder_alt.py:852-856)
@@ -99,9 +104,13 @@ class SegFlowModelConfig:
     # are layout-constrained by the loop boundary and measured 3-5x slower
     # than the identical convs outside it (docs/BENCHMARKS.md round 3);
     # unrolling restores the compiler's freedom at the cost of compile time.
-    # scan_unroll >= T switches to a plain Python loop over frames (no
-    # lax.scan at all — no while op, no loop-boundary layout constraints);
-    # params are identical to the scan path (one shared SegFlowStep).
+    # scan_unroll == T fully unrolls the lax.scan body (one while-loop trip
+    # carrying the whole straight-line step program — measured FASTER than
+    # both the rolled scan and the no-scan Python loop: 1484 vs 1271/1361
+    # f/s at B=8, tools/bench_explore.py scanperf/unrollloop).
+    # scan_unroll > T switches to a plain Python loop over frames (no
+    # lax.scan at all); params are identical across all three paths (one
+    # shared SegFlowStep, name-pinned).
     scan_unroll: int = 1
     dtype: str = "bfloat16"
 

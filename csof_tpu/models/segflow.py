@@ -34,7 +34,13 @@ from flax import linen as nn
 
 from csof_tpu.config.experiment import SegFlowModelConfig
 from csof_tpu.models.attention import CrossAttentionLayer
-from csof_tpu.models.blocks import ConvNormAct, leaky_relu, make_norm, upsample_linear
+from csof_tpu.models.blocks import (
+    ConvNormAct,
+    ConvTranspose,
+    leaky_relu,
+    make_norm,
+    upsample_linear,
+)
 from csof_tpu.models.convgru import ConvGRUCell
 from csof_tpu.ops.correlation import local_correlation_volume
 from csof_tpu.ops.warp import warp_image_cm
@@ -76,6 +82,12 @@ class Decoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     head_init_scale: float = 1.0
     deep_supervision: bool = False
+    #: "expand" = the reference's PatchExpand upsample — ConvTranspose(2,2)
+    #: + GroupNorm + GELU (ref: nnunet/lib/utils.py:1982 PatchExpand2DGroup)
+    #: computed in the fast matmul+depth-to-space form (blocks.ConvTranspose,
+    #: prod(k)*C output lanes on the MXU). "linear" = bilinear resize +
+    #: concat (round-2 shape; kept for old checkpoints).
+    upsample: str = "expand"
 
     @nn.compact
     def __call__(self, bottleneck, skips):
@@ -91,7 +103,13 @@ class Decoder(nn.Module):
         n_up = len(skips) - 1
         for i, skip in enumerate(reversed(skips[:-1])):
             f = self.out_dims[len(skips) - 2 - i]
-            x = upsample_linear(x, (2, 2))
+            if self.upsample == "expand":
+                x = ConvTranspose(
+                    f, (2, 2), (2, 2), dtype=self.dtype, name=f"expand_{i}"
+                )(x)
+                x = nn.gelu(make_norm(self.norm)(x))
+            else:
+                x = upsample_linear(x, (2, 2))
             x = jnp.concatenate([x, skip], axis=-1)
             x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
             x = ConvNormAct(f, (3, 3), norm=self.norm, dtype=self.dtype)(x)
@@ -293,6 +311,7 @@ class SegFlowStep(nn.Module):
             flow_out, _ = Decoder(
                 cfg.out_encoder_dims, 2, cfg.norm, dtype, name="flow_decoder",
                 deep_supervision=cfg.deep_supervision,
+                upsample=cfg.dec_upsample,
             )(dec_in, fused)
 
         if cfg.deep_supervision:
@@ -360,6 +379,7 @@ class SegFlow(nn.Module):
             cfg.out_encoder_dims, self.num_classes, cfg.norm, dtype,
             name="seg_decoder", head_init_scale=1e5,
             deep_supervision=cfg.deep_supervision,
+            upsample=cfg.dec_upsample,
         )(q_skips_t[-1], q_skips_t)
         if cfg.deep_supervision:
             seg_logits, seg_ds = seg_out[0], seg_out[1:]
@@ -377,7 +397,7 @@ class SegFlow(nn.Module):
         step_cls = nn.remat(SegFlowStep) if cfg.remat else SegFlowStep
         if distance is None:
             distance = jnp.zeros((t,), jnp.float32)
-        if cfg.scan_unroll >= t:
+        if cfg.scan_unroll > t:
             # fully-unrolled temporal loop: T is small and static (<=~40
             # cine frames), so a plain Python loop gives XLA a straight-line
             # program with no while-op layout constraints at all. One shared

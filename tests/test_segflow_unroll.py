@@ -1,6 +1,6 @@
 """SegFlow fully-unrolled temporal loop vs nn.scan parity.
 
-scan_unroll >= T switches the temporal recurrence to a plain Python loop
+scan_unroll > T switches the temporal recurrence to a plain Python loop
 (no lax.while/scan op at all), because the scan boundary pins layouts and
 measured 3-5x slower than the identical straight-line program
 (docs/BENCHMARKS.md round 3).  The unrolled step module is name-pinned to

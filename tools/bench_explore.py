@@ -87,13 +87,35 @@ SWEEPS = {
         ("unroll12_b8", {"scan_unroll": 12}, dict(batch=8, draws=2)),
         ("unroll12_b16", {"scan_unroll": 12}, dict(batch=16, draws=2)),
     ],
-    # scan_unroll >= T now means a plain Python loop over frames (no
-    # lax.scan op at all) — measure it across batches vs the scan path
+    # scan_unroll > T means a plain Python loop over frames (no lax.scan op
+    # at all) — measured SLOWER than the fully-unrolled scan body (1361 vs
+    # 1484 f/s at B=8), kept for the record
     "unrollloop": [
         ("loop_b8", {"scan_unroll": 99}, dict(batch=8, draws=3)),
         ("loop_b16", {"scan_unroll": 99}, dict(batch=16, draws=3)),
-        ("loop_b32", {"scan_unroll": 99}, dict(batch=32, draws=3)),
-        ("scan_b16", {}, dict(batch=16, draws=3)),
+    ],
+    # time attribution at the round-3 serving config (B=8, unrolled body)
+    "isolate12": [
+        ("base", {"scan_unroll": 12}, dict(batch=8, draws=2)),
+        ("no_warp", {"scan_unroll": 12}, dict(batch=8, draws=2, ablate="warp")),
+        ("no_attn", {"scan_unroll": 12}, dict(batch=8, draws=2, ablate="attn")),
+        ("no_menc", {"scan_unroll": 12}, dict(batch=8, draws=2, ablate="menc")),
+        ("no_flowdec", {"scan_unroll": 12}, dict(batch=8, draws=2, ablate="flowdec")),
+        ("no_costvol", {"scan_unroll": 12, "use_cost_volume": False}, dict(batch=8, draws=2)),
+        ("no_gru", {"scan_unroll": 12, "use_gru": False}, dict(batch=8, draws=2)),
+    ],
+    # decoder upsample mode at the serving config: the reference-accurate
+    # PatchExpand (matmul ConvTranspose+GN+GELU) vs bilinear resize
+    "decups": [
+        ("expand_b8", {"scan_unroll": 12, "dec_upsample": "expand"}, dict(batch=8, draws=3)),
+        ("linear_b8", {"scan_unroll": 12, "dec_upsample": "linear"}, dict(batch=8, draws=3)),
+    ],
+    # pick bench.py's serving config: fully-unrolled scan body across batches
+    "servepick": [
+        ("unroll12_b8", {"scan_unroll": 12}, dict(batch=8, draws=4)),
+        ("unroll12_b12", {"scan_unroll": 12}, dict(batch=12, draws=3)),
+        ("unroll12_b16", {"scan_unroll": 12}, dict(batch=16, draws=3)),
+        ("unroll12_b24", {"scan_unroll": 12}, dict(batch=24, draws=3)),
     ],
     # per-component time attribution inside the scan (CSOF_SEGFLOW_ABLATE
     # diagnostic hook): each row removes ONE recurrent-path component

@@ -18,7 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
-def bench(batch=4, t=6, hw=128, draws=1):
+def bench(batch=4, t=6, hw=128, draws=1, scan_unroll=1):
     import jax
     import jax.numpy as jnp
     import optax
@@ -27,7 +27,9 @@ def bench(batch=4, t=6, hw=128, draws=1):
     from csof_tpu.models.segflow import SegFlow
     from csof_tpu.training.trainer import make_segflow_loss
 
-    cfg = ExperimentConfig(model="segflow", segflow=SegFlowModelConfig())
+    cfg = ExperimentConfig(
+        model="segflow", segflow=SegFlowModelConfig(scan_unroll=scan_unroll)
+    )
     model = SegFlow(cfg=cfg.segflow, num_classes=4)
     loss_fn = make_segflow_loss(cfg, model)
 
@@ -60,7 +62,8 @@ def bench(batch=4, t=6, hw=128, draws=1):
     float(np.asarray(loss))
     dt = (time.perf_counter() - t0) / reps
     print(json.dumps({
-        "config": f"segflow_train_b{batch}_t{t}_{hw}",
+        "config": f"segflow_train_b{batch}_t{t}_{hw}"
+        + (f"_u{scan_unroll}" if scan_unroll > 1 else ""),
         "sec_per_step": round(dt, 4),
         "frames_per_sec": round(batch * t / dt, 1),
         "compile_s": round(compile_s, 1),
@@ -71,5 +74,13 @@ if __name__ == "__main__":
     import os
 
     os.environ.setdefault("CSOF_CORR_IMPL", "pallas")
-    bench(batch=1, t=6)   # the reference's published geometry
-    bench(batch=8, t=6)   # TPU serving batch
+    import sys as _s
+
+    if _s.argv[1:]:
+        # e.g. "4:6" = batch 4, unroll 6 (fully-unrolled scan body)
+        for a in _s.argv[1:]:
+            b, _, u = a.partition(":")
+            bench(batch=int(b), scan_unroll=int(u) if u else 1)
+    else:
+        bench(batch=1, t=6)   # the reference's published geometry
+        bench(batch=8, t=6)   # TPU serving batch
