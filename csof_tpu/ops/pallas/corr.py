@@ -326,10 +326,13 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
     parameters are closed over here (one cached wrapper per config).
 
     The batched kernel carries a custom VJP (pallas_call has no JVP rule,
-    so the kernel would otherwise be forward-only). The backward is the
-    roll+fma Pallas kernel `_corr_bwd_tile_kernel` on TPU (no scatters; see
-    its docstring) and falls back to the XLA shifted-slice/scatter-add
-    reference below elsewhere or with CSOF_CORR_BWD=jnp."""
+    so the kernel would otherwise be forward-only). The backward DEFAULTS
+    to the XLA shifted-slice/scatter-add implementation below (the proven
+    105-f/s training path): the roll+fma Pallas backward kernel
+    `_corr_bwd_tile_kernel` exceeds the 16 MB scoped-VMEM stack limit on
+    the real backend at large C x K^2 (Mosaic keeps every unrolled
+    offset's rolled f32 slab live). CSOF_CORR_BWD=pallas opts in; CPU
+    interpret-mode tests always exercise the kernel for correctness."""
 
     @jax.custom_vjp
     def batched(query, memory):
@@ -346,7 +349,13 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
 
         impl = os.environ.get("CSOF_CORR_BWD")
         if impl not in ("jnp", "pallas"):
-            impl = "pallas" if (interpret or jax.default_backend() == "tpu") else "jnp"
+            # Default to the XLA shifted-slice backward: the roll+fma Pallas
+            # backward kernel VMEM-stack-OOMs on the real backend at large
+            # C x K^2 (measured: c=128/81 windows wants a 120.9 MB scoped
+            # stack vs the 16 MB limit — Mosaic keeps every unrolled
+            # offset's rolled f32 slab live). interpret mode (CPU tests)
+            # still exercises the kernel; CSOF_CORR_BWD=pallas opts in.
+            impl = "pallas" if interpret else "jnp"
         if impl == "pallas":
             return _corr_bwd_pallas(query, memory, g, radius, stride, interpret)
         b, h, w, c = query.shape
