@@ -218,7 +218,7 @@ class SegFlowStep(nn.Module):
         ablate = set(
             filter(None, os.environ.get("CSOF_SEGFLOW_ABLATE", "").split(","))
         )
-        frame, q_skips, t_idx, dist = inputs
+        frame, q_skips, q_skips_cm, t_idx, dist = inputs
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         # cum_flow rides the carry CHANNEL-MAJOR (2, H, W): a channels-last
@@ -252,11 +252,15 @@ class SegFlowStep(nn.Module):
             if cfg.use_cost_volume:
                 # raw (bf16) activations: both impls accumulate the channel
                 # reduction in f32 internally and return the input dtype, so
-                # upcasting here would only double the kernel's byte traffic
+                # upcasting here would only double the kernel's byte traffic.
+                # The query goes in CHANNEL-MAJOR (transposed once for all T
+                # outside the loop): ~80% of the pallas call's cost was the
+                # per-step layout glue around the kernel (docs/BENCHMARKS.md)
                 corr = local_correlation_volume(
-                    q, m,
+                    q_skips_cm[lvl], m,
                     radius=cfg.corr_radius[lvl],
                     stride=cfg.corr_stride[lvl],
+                    q_cm=True,
                 ).astype(dtype)
             fused.append(
                 SkipFuse(q.shape[-1], mode=cfg.corr_fuse, norm=cfg.norm, dtype=dtype,
@@ -386,6 +390,12 @@ class SegFlow(nn.Module):
         else:
             seg_logits, seg_ds = seg_out, ()
 
+        # channel-major copies of the query skips for the correlation
+        # kernel: ONE T-batched transpose per level here instead of one per
+        # (frame, level) inside the loop — the per-call layout glue was
+        # ~80% of the pallas corr cost (docs/BENCHMARKS.md late round 3)
+        q_skips_cm_t = [jnp.moveaxis(s, -1, 1) for s in q_skips_t]
+
         # --- recurrent phase: scan the flow path over frames --------------
         x0 = video[0]
         hidden0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
@@ -413,6 +423,7 @@ class SegFlow(nn.Module):
                 carry, o = step(
                     carry,
                     (video[i], tuple(s[i] for s in q_skips_t),
+                     tuple(s[i] for s in q_skips_cm_t),
                      jnp.int32(i), distance[i]),
                 )
                 per_t.append(o)
@@ -429,7 +440,11 @@ class SegFlow(nn.Module):
                 out_axes=0,
                 unroll=min(cfg.scan_unroll, t),
             )(cfg=cfg, num_classes=self.num_classes)
-            _, outs = scan(carry0, (video, tuple(q_skips_t), jnp.arange(t), distance))
+            _, outs = scan(
+                carry0,
+                (video, tuple(q_skips_t), tuple(q_skips_cm_t),
+                 jnp.arange(t), distance),
+            )
         outs["seg_logits"] = seg_logits
         if cfg.deep_supervision:
             outs["seg_ds"] = seg_ds

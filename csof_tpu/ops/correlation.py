@@ -153,7 +153,7 @@ def lookup_correlation_gather(
 
 def local_correlation_volume(
     query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
-    impl: str = "auto",
+    impl: str = "auto", q_cm: bool = False,
 ) -> jnp.ndarray:
     """Local correlation between two (H, W, C) feature maps.
 
@@ -162,6 +162,13 @@ def local_correlation_volume(
     (capability of the reference's per-scale `CorrVolume(radius, stride)`,
     ref: SegFlowGaussian.py:255-269). Computed with `pltpu`-friendly shifted
     products (rolls + multiplies) instead of gathers.
+
+    q_cm=True: `query` arrives CHANNEL-MAJOR (C, H, W). The Pallas kernel
+    wants channel-major operands, and ~80% of its per-call cost on the real
+    backend is the layout glue around it (0.42 of 0.52 ms at SegFlow level
+    shapes, B=8 — measured with kernel replaced by a no-op); a caller that
+    loops over frames can hoist the query-side transpose out of the loop
+    and batch it over T (models/segflow.py does exactly that).
     """
     if impl == "auto":
         # CSOF_CORR_IMPL picks jnp | einsum | pallas; unset -> pallas on a
@@ -183,7 +190,12 @@ def local_correlation_volume(
         # with the jnp path; see tools/bench_explore.py)
         from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
 
-        return local_correlation_volume_pallas(query, memory, radius, stride)
+        return local_correlation_volume_pallas(
+            query, memory, radius, stride, q_cm=q_cm
+        )
+    if q_cm:
+        # only the pallas path consumes channel-major natively
+        query = jnp.moveaxis(query, 0, -1)
     if impl == "einsum":
         return _local_corr_einsum(query, memory, radius, stride)
     h, w, c = query.shape

@@ -135,21 +135,34 @@ def local_correlation_volume_pallas_batched(
     stride: int = 1,
     interpret: bool = False,
     budget_mb: float = 10.0,
+    query_cm: bool = False,
 ) -> jnp.ndarray:
     """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2), in the INPUT dtype.
 
     bf16 inputs stay bf16 through the transposes, DMA and VPU reads (the
     products are accumulated in f32) — on bf16 SegFlow activations this
     halves every byte the kernel moves vs the old always-f32 version, with
-    no information loss (the activations were bf16 to begin with)."""
-    b, h, w, c = query.shape
+    no information loss (the activations were bf16 to begin with).
+
+    query_cm=True: query arrives (B, C, H, W) — its transpose was hoisted
+    by the caller (the glue around the kernel, not the kernel, dominates
+    per-call cost; see local_correlation_volume)."""
+    if query_cm:
+        b, c, h, w = query.shape
+        q_cm = query
+    else:
+        b, h, w, c = query.shape
+        q_cm = jnp.moveaxis(query, -1, 1)  # (B, C, H, W)
     pad = radius * stride
     k2 = (2 * radius + 1) ** 2
     dtype = query.dtype
+    # the scratch slabs and DMA are typed by the QUERY dtype; a mismatched
+    # memory dtype would otherwise surface as an opaque Mosaic verification
+    # error ("DMA source and target element type mismatch") at lowering
+    memory = memory.astype(dtype)
     # channel-major: the lane dimension is the aligned W axis; K^2=81 on the
     # minor axis makes Mosaic blow up (81 is not lane-aligned), so the window
     # index is an untiled leading dim
-    q_cm = jnp.moveaxis(query, -1, 1)  # (B, C, H, W)
     m_cm = jnp.moveaxis(memory, -1, 1)
     # lane axis padded to the 128 tile: Mosaic rejects DMA slices whose lane
     # extent is not 128-aligned (a 32-wide level-2 map is stored lane-padded
@@ -265,6 +278,190 @@ def _corr_bwd_tile_kernel(
     dm_ref[0] = (dm_acc * scale).astype(dm_ref.dtype)
 
 
+def _corr_bwd_dq_kernel(
+    m_hbm, g_hbm, dq_ref, m_vmem, g_vmem, acc, sems, *,
+    radius: int, stride: int, scale: float, tile_h: int, slab: int,
+    w_logical: int,
+):
+    """dq for one (batch, row-tile) across a dx-minor grid axis.
+
+    dq[p, c] = scale * sum_kk g[p, kk] * m[p + d_kk, c].  The first
+    generation of this kernel unrolled all (2r+1) column shifts in one grid
+    step and Mosaic kept every shift's rolled f32 slab live (120.9 MB of
+    scoped VMEM stack wanted at C=128 vs the 16 MB limit).  Here each grid
+    step handles ONE dx: the m/g slabs are DMA'd into persistent scratch at
+    dx==0 and the f32 accumulator scratch carries across the dx steps (the
+    TPU grid runs sequentially on the core), so the live set is one rolled
+    slab + one accumulator regardless of radius."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)  # dx + radius, minor/fastest axis
+    k = 2 * radius + 1
+    th = dq_ref.shape[2]
+    w = dq_ref.shape[3]
+    pad = radius * stride
+
+    @pl.when(j == 0)
+    def _():
+        pltpu.make_async_copy(
+            m_hbm.at[b, :, pl.ds(i * tile_h, slab), :], m_vmem, sems.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            g_hbm.at[b, :, pl.ds(i * tile_h, slab), :], g_vmem, sems.at[1]
+        ).start()
+        pltpu.make_async_copy(
+            m_hbm.at[b, :, pl.ds(i * tile_h, slab), :], m_vmem, sems.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            g_hbm.at[b, :, pl.ds(i * tile_h, slab), :], g_vmem, sems.at[1]
+        ).wait()
+        acc[...] = jnp.zeros_like(acc)
+
+    dx = j - radius
+    sh = dx * stride
+    m_all = m_vmem[...].astype(jnp.float32)
+    # sh is a traced grid quantity here -> always a (dynamic-shift) roll
+    m_rolled = pltpu.roll(m_all, (-sh) % w, axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    mask = ((col + sh >= 0) & (col + sh < w_logical)).astype(jnp.float32)
+    part = acc[...]
+    for dy in range(-radius, radius + 1):
+        oy = (dy + radius) * stride
+        kk = (dy + radius) * k + j
+        # g at the tile center (rows pad..pad+th of the slab), channel kk
+        g_c = g_vmem[kk, pad : pad + th, :].astype(jnp.float32)
+        part = part + (g_c * mask)[None] * m_rolled[:, oy : oy + th, :]
+    acc[...] = part
+
+    @pl.when(j == k - 1)
+    def _():
+        dq_ref[0] = (acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _corr_bwd_dm_kernel(
+    q_hbm, g_hbm, dm_ref, q_vmem, g_vmem, acc, sems, *,
+    radius: int, stride: int, scale: float, tile_h: int, slab: int,
+    w_logical: int,
+):
+    """dm for one (batch, row-tile) across a dx-minor grid axis.
+
+    dm[p, c] = scale * sum_e g[p + e, kk(-e)] * q[p + e, c] (e runs over
+    the symmetric window, kk(-e) is the flipped window channel) — both g
+    and q are shifted by the same +e, so each dx step rolls one q slab and
+    the (2r+1)-channel strided slice of g it needs.  See _corr_bwd_dq_kernel
+    for why dx lives on the grid."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    k = 2 * radius + 1
+    th = dm_ref.shape[2]
+    w = dm_ref.shape[3]
+
+    @pl.when(j == 0)
+    def _():
+        pltpu.make_async_copy(
+            q_hbm.at[b, :, pl.ds(i * tile_h, slab), :], q_vmem, sems.at[0]
+        ).start()
+        pltpu.make_async_copy(
+            g_hbm.at[b, :, pl.ds(i * tile_h, slab), :], g_vmem, sems.at[1]
+        ).start()
+        pltpu.make_async_copy(
+            q_hbm.at[b, :, pl.ds(i * tile_h, slab), :], q_vmem, sems.at[0]
+        ).wait()
+        pltpu.make_async_copy(
+            g_hbm.at[b, :, pl.ds(i * tile_h, slab), :], g_vmem, sems.at[1]
+        ).wait()
+        acc[...] = jnp.zeros_like(acc)
+
+    # dm[p] = scale * sum_d g[p + d, kk(-d)] * q[p + d]: shift +d paired
+    # with the FLIPPED window channel kk(-d) = (radius-dy)*k + (radius-dx)
+    # (identical pairing to the verified fused kernel; the window is
+    # symmetric so summing over +d covers it)
+    dx = j - radius
+    sh = dx * stride
+    q_all = q_vmem[...].astype(jnp.float32)
+    # sh is a traced grid quantity here -> always a (dynamic-shift) roll
+    q_rolled = pltpu.roll(q_all, (-sh) % w, axis=2)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+    mask = ((col + sh >= 0) & (col + sh < w_logical)).astype(jnp.float32)
+    part = acc[...]
+    for dy in range(-radius, radius + 1):
+        oy = (dy + radius) * stride
+        kkflip = (radius - dy) * k + (k - 1 - j)
+        g_r = g_vmem[kkflip].astype(jnp.float32)
+        g_r = pltpu.roll(g_r, (-sh) % w, axis=1)
+        gq = (g_r[oy : oy + th, :] * mask)[None]
+        part = part + gq * q_rolled[:, oy : oy + th, :]
+    acc[...] = part
+
+    @pl.when(j == k - 1)
+    def _():
+        dm_ref[0] = (acc[...] * scale).astype(dm_ref.dtype)
+
+
+def _corr_bwd_pallas_v2(query, memory, g, radius, stride, interpret,
+                        budget_mb: float = 10.0):
+    """(B,H,W,C) q/m + (B,H,W,K^2) cotangent -> (dq, dm), input dtypes.
+
+    Two pallas calls (dq, dm), each gridded (batch, row-tiles, dx) with the
+    column shift on the MINOR grid axis and an f32 accumulator in scratch —
+    bounded live set at any C (the fused one-step kernel wanted 120.9 MB of
+    scoped VMEM at C=128; see _corr_bwd_dq_kernel)."""
+    b, h, w, c = query.shape
+    pad = radius * stride
+    k = 2 * radius + 1
+    k2 = k * k
+    dtype = query.dtype
+    q_cm = jnp.moveaxis(query, -1, 1)
+    m_cm = jnp.moveaxis(memory, -1, 1)
+    g_cm = jnp.moveaxis(g.astype(dtype), -1, 1)
+    wpad = _round_up(w, 128)
+    tile_h = _pick_tile_h(
+        h, wpad, c + k2, c, pad, jnp.dtype(dtype).itemsize, budget_mb
+    )
+    hpad = _round_up(h, tile_h)
+    slab = _round_up(tile_h + 2 * pad, 16)
+    rows = (hpad // tile_h - 1) * tile_h + slab
+    rpad = ((0, 0), (0, 0), (pad, max(rows - h - pad, pad)), (0, wpad - w))
+    q_cm = jnp.pad(q_cm, rpad)
+    m_cm = jnp.pad(m_cm, rpad)
+    g_cm = jnp.pad(g_cm, rpad)
+    grid = (b, hpad // tile_h, k)
+    out_spec = pl.BlockSpec(
+        (1, c, tile_h, wpad), lambda bb, ii, jj: (bb, 0, ii, 0),
+        memory_space=pltpu.VMEM,
+    )
+    scratch = [
+        pltpu.VMEM((c, slab, wpad), dtype),
+        pltpu.VMEM((k2, slab, wpad), dtype),
+        pltpu.VMEM((c, tile_h, wpad), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    common = dict(radius=radius, stride=stride, scale=1.0 / math.sqrt(c),
+                  tile_h=tile_h, slab=slab, w_logical=w)
+    dq = pl.pallas_call(
+        functools.partial(_corr_bwd_dq_kernel, **common),
+        out_shape=jax.ShapeDtypeStruct((b, c, hpad, wpad), dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(m_cm, g_cm)
+    dm = pl.pallas_call(
+        functools.partial(_corr_bwd_dm_kernel, **common),
+        out_shape=jax.ShapeDtypeStruct((b, c, hpad, wpad), dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 2,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(q_cm, g_cm)
+    dq = jnp.moveaxis(dq[:, :, :h, :w], 1, -1)
+    dm = jnp.moveaxis(dm[:, :, :h, :w], 1, -1)
+    return dq, dm
+
+
 def _corr_bwd_pallas(query, memory, g, radius, stride, interpret,
                      budget_mb: float = 10.0):
     """(B,H,W,C) q/m + (B,H,W,K^2) cotangent -> (dq, dm), input dtypes."""
@@ -321,7 +518,7 @@ def _corr_bwd_pallas(query, memory, g, radius, stride, interpret,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_corr_fn(radius: int, stride: int, interpret: bool):
+def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False):
     """custom_vmap traces every positional argument, so the static kernel
     parameters are closed over here (one cached wrapper per config).
 
@@ -337,7 +534,7 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
     @jax.custom_vjp
     def batched(query, memory):
         return local_correlation_volume_pallas_batched(
-            query, memory, radius, stride, interpret
+            query, memory, radius, stride, interpret, query_cm=q_cm
         )
 
     def _fwd(query, memory):
@@ -348,16 +545,27 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
         import os
 
         impl = os.environ.get("CSOF_CORR_BWD")
-        if impl not in ("jnp", "pallas"):
-            # Default to the XLA shifted-slice backward: the roll+fma Pallas
-            # backward kernel VMEM-stack-OOMs on the real backend at large
-            # C x K^2 (measured: c=128/81 windows wants a 120.9 MB scoped
-            # stack vs the 16 MB limit — Mosaic keeps every unrolled
-            # offset's rolled f32 slab live). interpret mode (CPU tests)
-            # still exercises the kernel; CSOF_CORR_BWD=pallas opts in.
+        if impl not in ("jnp", "pallas", "pallas_v1"):
+            # Default to the XLA shifted-slice backward: the fused one-step
+            # Pallas backward (v1) VMEM-stack-OOMs on the real backend at
+            # large C x K^2 (measured: c=128/81 windows wants a 120.9 MB
+            # scoped stack vs the 16 MB limit — Mosaic keeps every unrolled
+            # offset's rolled f32 slab live). The dx-gridded v2 kernels
+            # bound the live set but are not yet proven faster than XLA on
+            # the real chip. interpret mode (CPU tests) exercises v2;
+            # CSOF_CORR_BWD=pallas opts in (pallas_v1 = the fused kernel).
             impl = "pallas" if interpret else "jnp"
+        if q_cm:
+            # backward math below is channels-last; the primal query (and
+            # therefore dq) is channel-major when the caller hoisted the
+            # transpose — convert in, convert the gradient back out
+            query = jnp.moveaxis(query, 1, -1)
         if impl == "pallas":
-            return _corr_bwd_pallas(query, memory, g, radius, stride, interpret)
+            dq, dm = _corr_bwd_pallas_v2(query, memory, g, radius, stride, interpret)
+            return (jnp.moveaxis(dq, -1, 1) if q_cm else dq), dm
+        if impl == "pallas_v1":
+            dq, dm = _corr_bwd_pallas(query, memory, g, radius, stride, interpret)
+            return (jnp.moveaxis(dq, -1, 1) if q_cm else dq), dm
         b, h, w, c = query.shape
         pad = radius * stride
         scale = 1.0 / math.sqrt(c)
@@ -378,7 +586,8 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
                 dm_pad = dm_pad.at[:, oy : oy + h, ox : ox + w, :].add(gk * qf)
                 i += 1
         dm = dm_pad[:, pad : pad + h, pad : pad + w, :]
-        return dq.astype(query.dtype), dm.astype(memory.dtype)
+        dq = dq.astype(query.dtype)
+        return (jnp.moveaxis(dq, -1, 1) if q_cm else dq), dm.astype(memory.dtype)
 
     batched.defvjp(_fwd, _bwd)
 
@@ -400,9 +609,11 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool):
 
 def local_correlation_volume_pallas(
     query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
-    interpret: bool = False,
+    interpret: bool = False, q_cm: bool = False,
 ) -> jnp.ndarray:
     """query/memory: (H, W, C) -> (H, W, (2r+1)^2). Under jax.vmap this
     dispatches to the batch-gridded kernel instead of letting vmap
-    auto-batch the pallas_call."""
-    return _make_corr_fn(int(radius), int(stride), bool(interpret))(query, memory)
+    auto-batch the pallas_call. q_cm=True: query is (C, H, W)."""
+    return _make_corr_fn(int(radius), int(stride), bool(interpret), bool(q_cm))(
+        query, memory
+    )

@@ -1,5 +1,6 @@
 """Pallas kernels vs jnp reference implementations (interpret mode on CPU)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -177,3 +178,79 @@ def test_pallas_corr_bwd_kernel_matches_xla_reference():
         gq_j, gm_j = jax.grad(lambda a, b: loss(a, b, "jnp"), (0, 1))(q, m)
         np.testing.assert_allclose(np.asarray(gq_p), np.asarray(gq_j), atol=1e-4)
         np.testing.assert_allclose(np.asarray(gm_p), np.asarray(gm_j), atol=1e-4)
+
+
+def test_pallas_corr_q_cm_matches_reference():
+    """Channel-major query path (the per-step transpose hoisted by SegFlow):
+    forward AND custom-VJP gradients must match the channels-last path, with
+    dq returned in the channel-major layout of the primal input."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.rand(10, 12, 5).astype(np.float32))
+    m = jnp.asarray(rng.rand(10, 12, 5).astype(np.float32))
+    ref = local_correlation_volume(q, m, radius=2, stride=1, impl="jnp")
+    out = local_correlation_volume_pallas(
+        jnp.moveaxis(q, -1, 0), m, radius=2, stride=1, interpret=True, q_cm=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # gradients flow through the vmap rule (the only differentiable entry —
+    # training always batches; the unbatched custom_vmap wrapper is
+    # forward-only, a pre-existing jax limitation)
+    def loss_last(q, m):
+        out = jax.vmap(lambda a, b: local_correlation_volume_pallas(a, b, 2, 1, True))(q[None], m[None])
+        return (out ** 2).sum()
+
+    def loss_cm(qc, m):
+        out = jax.vmap(
+            lambda a, b: local_correlation_volume_pallas(a, b, 2, 1, True, q_cm=True)
+        )(qc[None], m[None])
+        return (out ** 2).sum()
+
+    dq_ref, dm_ref = jax.grad(loss_last, argnums=(0, 1))(q, m)
+    dq_cm, dm_cm = jax.grad(loss_cm, argnums=(0, 1))(jnp.moveaxis(q, -1, 0), m)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(dq_cm, 0, -1)), np.asarray(dq_ref), atol=1e-4
+    )
+    np.testing.assert_allclose(np.asarray(dm_cm), np.asarray(dm_ref), atol=1e-4)
+
+
+def test_pallas_corr_q_cm_batched_vmap():
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    q = jnp.asarray(rng.rand(3, 8, 8, 4).astype(np.float32))
+    m = jnp.asarray(rng.rand(3, 8, 8, 4).astype(np.float32))
+    ref = jax.vmap(lambda a, b: local_correlation_volume(a, b, 2, 1, impl="jnp"))(q, m)
+    q_cm = jnp.moveaxis(q, -1, 1)
+    out = jax.vmap(
+        lambda a, b: local_correlation_volume_pallas(a, b, 2, 1, True, q_cm=True)
+    )(q_cm, m)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("radius,stride,c", [(2, 1, 5), (1, 2, 3), (4, 2, 8)])
+def test_pallas_corr_bwd_v2_matches_xla(radius, stride, c, monkeypatch):
+    """The dx-gridded split backward kernels (v2) vs the XLA shifted-slice
+    backward, through the real custom-VJP dispatch."""
+    from csof_tpu.ops.pallas import corr as pc
+
+    rng = np.random.RandomState(7)
+    h = w = 4 * radius + 6
+    q = jnp.asarray(rng.rand(2, h, w, c).astype(np.float32))
+    m = jnp.asarray(rng.rand(2, h, w, c).astype(np.float32))
+    g = jnp.asarray(rng.rand(2, h, w, (2 * radius + 1) ** 2).astype(np.float32))
+    dq2, dm2 = pc._corr_bwd_pallas_v2(q, m, g, radius, stride, interpret=True)
+
+    # XLA reference via the dispatch (CSOF_CORR_BWD=jnp)
+    monkeypatch.setenv("CSOF_CORR_BWD", "jnp")
+    fn = pc._make_corr_fn(radius, stride, True)
+
+    def loss(q, m):
+        out = jax.vmap(lambda a, b: fn(a, b))(q, m)
+        return jnp.sum(out * g)
+
+    dq_ref, dm_ref = jax.grad(loss, argnums=(0, 1))(q, m)
+    np.testing.assert_allclose(np.asarray(dq2), np.asarray(dq_ref), atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(dm2), np.asarray(dm_ref), atol=2e-5, rtol=1e-5)
