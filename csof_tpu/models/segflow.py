@@ -136,6 +136,29 @@ class Decoder(nn.Module):
         return head, x
 
 
+class _NCHWConv(nn.Module):
+    """3x3 SAME conv consuming a CHANNEL-MAJOR (N, C, H, W) input and
+    emitting channels-last (N, H, W, F). Param path/shape identical to an
+    nn.Conv of the same name ((3, 3, C_in, F) "kernel"), so checkpoints
+    transfer between the layouts. Used by SkipFuse split mode to eat the
+    corr kernel's native channel-major output without transpose glue."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cm):
+        ci = x_cm.shape[1]
+        w = self.param(
+            "kernel", nn.initializers.he_normal(), (3, 3, ci, self.features),
+            jnp.float32,
+        )
+        return jax.lax.conv_general_dilated(
+            x_cm.astype(self.dtype), w.astype(self.dtype), (1, 1), "SAME",
+            dimension_numbers=("NCHW", "HWIO", "NHWC"),
+        )
+
+
 class SkipFuse(nn.Module):
     """Fuse (query, memory, correlation) skips into one feature map.
 
@@ -162,7 +185,10 @@ class SkipFuse(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, m, corr):
+    def __call__(self, q, m, corr, corr_cm: bool = False):
+        if corr_cm and self.mode != "split":
+            corr = jnp.moveaxis(corr, 1, -1)
+            corr_cm = False
         if corr is None or self.mode == "concat":
             parts = [q, m] + ([] if corr is None else [corr])
             return ConvNormAct(self.features, (3, 3), norm=self.norm, dtype=self.dtype)(
@@ -175,9 +201,14 @@ class SkipFuse(nn.Module):
                 + nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                           dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
                           name="conv_m")(m)
-                + nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                          dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
-                          name="conv_corr")(corr)
+                + (
+                    _NCHWConv(self.features, dtype=self.dtype, name="conv_corr")(corr)
+                    if corr_cm
+                    else nn.Conv(
+                        self.features, (3, 3), padding="SAME", use_bias=False,
+                        dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
+                        name="conv_corr")(corr)
+                )
             )
             return leaky_relu(make_norm(self.norm)(y))
         if self.mode == "project":
@@ -245,7 +276,11 @@ class SegFlowStep(nn.Module):
             m_skips = [s[0] for s in m_skips]
         q_skips = list(q_skips)
 
-        # per-scale local correlation fused into the query skips
+        # per-scale local correlation fused into the query skips.
+        # split mode keeps the corr in the kernel's native CHANNEL-MAJOR
+        # layout all the way into an NCHW fuse conv (no output transpose
+        # glue); concat/project/mean1 need channels-last for their concat
+        out_cm = cfg.corr_fuse == "split"
         fused = []
         for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
             corr = None
@@ -261,11 +296,13 @@ class SegFlowStep(nn.Module):
                     radius=cfg.corr_radius[lvl],
                     stride=cfg.corr_stride[lvl],
                     q_cm=True,
+                    out_cm=out_cm,
                 ).astype(dtype)
             fused.append(
                 SkipFuse(q.shape[-1], mode=cfg.corr_fuse, norm=cfg.norm, dtype=dtype,
                          name=f"skip_fuse_{lvl}")(q[None], m[None],
-                                                  None if corr is None else corr[None])[0]
+                                                  None if corr is None else corr[None],
+                                                  corr_cm=out_cm)[0]
             )
             if cfg.use_cost_volume:
                 # similarity-map observability: best local correlation per
@@ -273,7 +310,7 @@ class SegFlowStep(nn.Module):
                 # log_sim_images on the reference's per-scale 'sim' outputs)
                 self.sow(
                     "intermediates", f"sim_{lvl}",
-                    jnp.max(corr.astype(jnp.float32), axis=-1),
+                    jnp.max(corr.astype(jnp.float32), axis=0 if out_cm else -1),
                 )
 
         cur = fused[-1]

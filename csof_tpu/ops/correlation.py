@@ -153,7 +153,7 @@ def lookup_correlation_gather(
 
 def local_correlation_volume(
     query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
-    impl: str = "auto", q_cm: bool = False,
+    impl: str = "auto", q_cm: bool = False, out_cm: bool = False,
 ) -> jnp.ndarray:
     """Local correlation between two (H, W, C) feature maps.
 
@@ -191,13 +191,14 @@ def local_correlation_volume(
         from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
 
         return local_correlation_volume_pallas(
-            query, memory, radius, stride, q_cm=q_cm
+            query, memory, radius, stride, q_cm=q_cm, out_cm=out_cm
         )
     if q_cm:
-        # only the pallas path consumes channel-major natively
+        # only the pallas path consumes/produces channel-major natively
         query = jnp.moveaxis(query, 0, -1)
     if impl == "einsum":
-        return _local_corr_einsum(query, memory, radius, stride)
+        out = _local_corr_einsum(query, memory, radius, stride)
+        return jnp.moveaxis(out, -1, 0) if out_cm else out
     h, w, c = query.shape
     scale = 1.0 / jnp.sqrt(jnp.float32(c))
     k = 2 * radius + 1
@@ -212,7 +213,8 @@ def local_correlation_volume(
             oy, ox = (dy * stride + pad), (dx * stride + pad)
             shifted = jax.lax.dynamic_slice(mem, (oy, ox, 0), (h, w, c))
             outs.append(jnp.sum(qf * shifted, axis=-1) * scale)
-    return jnp.stack(outs, axis=-1).astype(query.dtype)  # (H, W, (2r+1)^2)
+    stacked = jnp.stack(outs, axis=0 if out_cm else -1).astype(query.dtype)
+    return stacked  # ((2r+1)^2, H, W) if out_cm else (H, W, (2r+1)^2)
 
 
 def _local_corr_einsum(query, memory, radius: int, stride: int):

@@ -136,8 +136,12 @@ def local_correlation_volume_pallas_batched(
     interpret: bool = False,
     budget_mb: float = 10.0,
     query_cm: bool = False,
+    out_cm: bool = False,
 ) -> jnp.ndarray:
     """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2), in the INPUT dtype.
+    out_cm=True returns (B, (2r+1)^2, H, W) — the kernel's native layout,
+    for consumers that can eat channel-major (SkipFuse split mode feeds it
+    straight into an NCHW conv), skipping the output transpose glue.
 
     bf16 inputs stay bf16 through the transposes, DMA and VPU reads (the
     products are accumulated in f32) — on bf16 SegFlow activations this
@@ -210,7 +214,7 @@ def local_correlation_volume_pallas_batched(
     )(q_cm, m_cm)
     if hpad != h or wpad != w:
         out = out[:, :, :h, :w]
-    return jnp.moveaxis(out, 1, -1)
+    return out if out_cm else jnp.moveaxis(out, 1, -1)
 
 
 def _corr_bwd_tile_kernel(
@@ -518,7 +522,8 @@ def _corr_bwd_pallas(query, memory, g, radius, stride, interpret,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False):
+def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
+                  out_cm: bool = False):
     """custom_vmap traces every positional argument, so the static kernel
     parameters are closed over here (one cached wrapper per config).
 
@@ -534,7 +539,8 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False)
     @jax.custom_vjp
     def batched(query, memory):
         return local_correlation_volume_pallas_batched(
-            query, memory, radius, stride, interpret, query_cm=q_cm
+            query, memory, radius, stride, interpret, query_cm=q_cm,
+            out_cm=out_cm,
         )
 
     def _fwd(query, memory):
@@ -542,6 +548,10 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False)
 
     def _bwd(res, g):
         query, memory = res
+        if out_cm:
+            # backward math is channels-last; the cotangent arrives in the
+            # kernel's channel-major output layout
+            g = jnp.moveaxis(g, 1, -1)
         import os
 
         impl = os.environ.get("CSOF_CORR_BWD")
@@ -609,11 +619,12 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False)
 
 def local_correlation_volume_pallas(
     query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
-    interpret: bool = False, q_cm: bool = False,
+    interpret: bool = False, q_cm: bool = False, out_cm: bool = False,
 ) -> jnp.ndarray:
     """query/memory: (H, W, C) -> (H, W, (2r+1)^2). Under jax.vmap this
     dispatches to the batch-gridded kernel instead of letting vmap
-    auto-batch the pallas_call. q_cm=True: query is (C, H, W)."""
-    return _make_corr_fn(int(radius), int(stride), bool(interpret), bool(q_cm))(
-        query, memory
-    )
+    auto-batch the pallas_call. q_cm=True: query is (C, H, W); out_cm=True
+    returns ((2r+1)^2, H, W)."""
+    return _make_corr_fn(
+        int(radius), int(stride), bool(interpret), bool(q_cm), bool(out_cm)
+    )(query, memory)

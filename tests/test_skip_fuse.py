@@ -86,3 +86,42 @@ def test_segflow_forward_all_modes():
         assert out["seg_logits"].shape == (2, 16, 16, 4)
         assert out["cum_flow"].shape == (2, 2, 16, 16)
         assert np.isfinite(np.asarray(out["seg_logits"])).all(), mode
+
+
+def test_split_mode_channel_major_corr_matches():
+    """SkipFuse split with the corr in the kernel's native channel-major
+    layout (NCHW fuse conv, no transpose glue) must match the channels-last
+    path with the SAME params — the _NCHWConv param path/shape is pinned to
+    nn.Conv's."""
+    from csof_tpu.models.segflow import SkipFuse
+
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.rand(1, 12, 12, 8).astype(np.float32))
+    m = jnp.asarray(rng.rand(1, 12, 12, 8).astype(np.float32))
+    corr = jnp.asarray(rng.rand(1, 12, 12, 9).astype(np.float32))
+    fuse = SkipFuse(8, mode="split")
+    p = fuse.init(jax.random.PRNGKey(0), q, m, corr)
+    y_last = fuse.apply(p, q, m, corr)
+    y_cm = fuse.apply(p, q, m, jnp.moveaxis(corr, -1, 1), corr_cm=True)
+    np.testing.assert_allclose(
+        np.asarray(y_last), np.asarray(y_cm), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_segflow_split_grads_finite():
+    """End-to-end split mode (channel-major corr path) trains: finite grads
+    through the q_cm + out_cm corr and the NCHW fuse conv."""
+    video = jnp.asarray(np.random.RandomState(2).rand(3, 16, 16, 1).astype(np.float32))
+    cfg = SegFlowModelConfig(
+        out_encoder_dims=(4, 8, 16), d_model=16, bottleneck_heads=2,
+        dim_feedforward=32, corr_radius=(1, 1, 1), corr_stride=(1, 1, 1),
+        dtype="float32", corr_fuse="split",
+    )
+    model = SegFlow(cfg=cfg, num_classes=4)
+    params = model.init(jax.random.PRNGKey(0), video)
+    g = jax.grad(
+        lambda p: (model.apply(p, video)["flow"] ** 2).mean()
+        + (model.apply(p, video)["seg_logits"] ** 2).mean()
+    )(params)
+    total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(total) and total > 0

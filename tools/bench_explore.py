@@ -104,6 +104,13 @@ SWEEPS = {
         ("no_costvol", {"scan_unroll": 12, "use_cost_volume": False}, dict(batch=8, draws=2)),
         ("no_gru", {"scan_unroll": 12, "use_gru": False}, dict(batch=8, draws=2)),
     ],
+    # corr glue-ectomy at the serving config: split fuse keeps the corr
+    # channel-major from kernel to NCHW conv (no output transpose), and
+    # the q_cm hoist moved the query transposes out of the loop
+    "gluecut": [
+        ("concat_b8", {"scan_unroll": 12, "corr_fuse": "concat"}, dict(batch=8, draws=3)),
+        ("splitcm_b8", {"scan_unroll": 12, "corr_fuse": "split"}, dict(batch=8, draws=3)),
+    ],
     # decoder upsample mode at the serving config: the reference-accurate
     # PatchExpand (matmul ConvTranspose+GN+GELU) vs bilinear resize
     "decups": [
