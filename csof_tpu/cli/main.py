@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 from pathlib import Path
 
@@ -328,6 +329,24 @@ def predict_flow_entry(argv=None):
     }
     trainer = restore_trainer(a.model_dir, example)
     net, params = trainer.model, trainer.state.params
+    # Inference-time serving config: fully unroll the temporal scan body
+    # (measured ~15% over the rolled scan — the while-op boundary pins
+    # layouts; docs/BENCHMARKS.md round 3). Params are identical across
+    # scan_unroll settings (the step module is name-pinned), so the
+    # restored checkpoint applies unchanged. CSOF_INFER_UNROLL=0 opts out
+    # (e.g. to bound compile time on very long cines).
+    if getattr(net, "cfg", None) is not None and os.environ.get(
+        "CSOF_INFER_UNROLL", "1"
+    ) != "0":
+        import dataclasses as _dc
+
+        from csof_tpu.models.segflow import SegFlow as _SegFlow
+
+        if isinstance(net, _SegFlow):
+            net = _SegFlow(
+                cfg=_dc.replace(net.cfg, scan_unroll=-1),
+                num_classes=net.num_classes,
+            )
     predictor = FlowPredictor(
         lambda v: net.apply(params, v), crop_size=cs, do_mirroring=not a.disable_tta
     )

@@ -110,7 +110,9 @@ class SegFlowModelConfig:
     # f/s at B=8, tools/bench_explore.py scanperf/unrollloop).
     # scan_unroll > T switches to a plain Python loop over frames (no
     # lax.scan at all); params are identical across all three paths (one
-    # shared SegFlowStep, name-pinned).
+    # shared SegFlowStep, name-pinned). scan_unroll == -1 means "fully
+    # unroll for whatever T arrives" (the serving sweet spot when T varies
+    # per case, e.g. FlowPredictor inference).
     scan_unroll: int = 1
     dtype: str = "bfloat16"
 

@@ -475,7 +475,7 @@ class SegFlow(nn.Module):
                 split_rngs={"params": False},
                 in_axes=0,
                 out_axes=0,
-                unroll=min(cfg.scan_unroll, t),
+                unroll=t if cfg.scan_unroll == -1 else min(cfg.scan_unroll, t),
             )(cfg=cfg, num_classes=self.num_classes)
             _, outs = scan(
                 carry0,
