@@ -13,7 +13,6 @@ import subprocess
 import sys
 from pathlib import Path
 
-import pytest
 
 
 def _free_port() -> int:
@@ -22,7 +21,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_pair(worker, out, env):
+def _run_pair(worker, out, env, timeout=540):
     port = _free_port()
     procs = {
         pid: subprocess.Popen(
@@ -35,13 +34,18 @@ def _run_pair(worker, out, env):
         for pid in (0, 1)
     }
     logs = {}
-    for pid, p in procs.items():
-        stdout, _ = p.communicate(timeout=280)
-        logs[pid] = stdout
+    try:
+        for pid, p in procs.items():
+            stdout, _ = p.communicate(timeout=timeout)
+            logs[pid] = stdout
+    except subprocess.TimeoutExpired:
+        for p in procs.values():
+            p.kill()
+            p.communicate()
+        raise
     return procs, logs
 
 
-@pytest.mark.timeout(600)
 def test_two_process_training_and_rank0_checkpoint(tmp_path):
     worker = Path(__file__).parent / "distributed_worker.py"
     out = {0: tmp_path / "rank0", 1: tmp_path / "rank1"}
@@ -50,12 +54,19 @@ def test_two_process_training_and_rank0_checkpoint(tmp_path):
     # the pytest conftest forces an 8-device virtual CPU platform via
     # XLA_FLAGS; the workers must see 1 local device per process
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
-    procs, logs = _run_pair(worker, out, env)
-    if any(p.returncode != 0 for p in procs.values()):
-        # the cross-process rendezvous + gloo heartbeats are sensitive to
-        # CPU starvation on this 1-core host (observed: a run fails while
-        # the TPU benches hog the core, then passes standalone) — one retry
-        # keeps the signal without making the suite load-dependent
+    try:
+        procs, logs = _run_pair(worker, out, env)
+        failed = any(p.returncode != 0 for p in procs.values())
+    except subprocess.TimeoutExpired:
+        # two workers cold-compiling the train step on ONE core can blow
+        # the pair timeout (observed on compile-cache misses); the retry
+        # hits the now-warm cache
+        failed = True
+    if failed:
+        # the cross-process rendezvous + gloo heartbeats are also sensitive
+        # to CPU starvation on this 1-core host (observed: a run fails
+        # while TPU benches hog the core, then passes standalone) — one
+        # retry keeps the signal without making the suite load-dependent
         procs, logs = _run_pair(worker, out, env)
     for pid, p in procs.items():
         assert p.returncode == 0, f"rank {pid} failed:\n{logs[pid]}"
