@@ -43,6 +43,25 @@ def _ref_gpu_fps() -> float:
         return REF_GPU_FPS
 
 
+def _build(videos, t, **kw):
+    """Build the flagship SegFlow + params for the bench geometry.
+
+    Module-level (not a closure) so the fallback override path —
+    `_build(videos, t, scan_unroll=1)` after a serving-config compile
+    failure — is unit-testable: kw overrides must beat the serving
+    default instead of raising duplicate-kwarg TypeError (ADVICE r3).
+    """
+    import jax
+
+    from csof_tpu.config.experiment import SegFlowModelConfig
+    from csof_tpu.models.segflow import SegFlow
+
+    kw.setdefault("scan_unroll", t)  # serving default; fallback may override
+    cfg = SegFlowModelConfig(**kw)  # flagship (bf16)
+    model = SegFlow(cfg=cfg, num_classes=4)
+    return model, model.init(jax.random.PRNGKey(0), videos[0])
+
+
 def main():
     import os
 
@@ -56,9 +75,6 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from csof_tpu.config.experiment import SegFlowModelConfig
-    from csof_tpu.models.segflow import SegFlow
-
     # ACDC-like inference geometry: batch of depth slices x cine frames at
     # the 128^2 heart ROI (ref: video.yaml crop sizes; SegFlowGaussian.py:121-135).
     # Serving config from the round-3 servepick sweep (tools/bench_explore.py):
@@ -67,14 +83,30 @@ def main():
     # rolled at B=8; B=12/16/24 all measured slower than B=8 unrolled).
     batch, t, hw = 8, 12, 128
     rng = np.random.RandomState(0)
-    videos = jnp.asarray(rng.rand(batch, t, hw, hw, 1), jnp.float32)
+    videos_np = rng.rand(batch, t, hw, hw, 1).astype(np.float32)
 
-    def build(**kw):
-        cfg = SegFlowModelConfig(scan_unroll=t, **kw)  # flagship (bf16)
-        model = SegFlow(cfg=cfg, num_classes=4)
-        return model, model.init(jax.random.PRNGKey(0), videos[0])
+    model = params = videos = None  # built inside the probe try-blocks below
 
-    model = params = None  # built inside the probe try-block below
+    # Driver contract: NEVER leave without one parseable JSON line. The
+    # first device contact (asarray) happens inside this guard so a dead
+    # backend/tunnel degrades to an {"error": ...} line, not a traceback
+    # (round-3 BENCH died on backend init at module scope).
+    try:
+        videos = jnp.asarray(videos_np)
+        np.asarray(videos[0, 0, 0, 0])  # force real device placement now
+    except Exception as e:
+        print(
+            json.dumps(
+                {
+                    "metric": "cine-MRI frames/sec/chip (seg+flow)",
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": None,
+                    "error": f"backend unavailable: {type(e).__name__}: {e}"[:300],
+                }
+            )
+        )
+        return
 
     # Compile-draw hardening: this toolchain's backend compile is a
     # scheduling lottery (byte-identical jaxprs -> binaries up to 45%
@@ -107,30 +139,45 @@ def main():
     reps = 10
     fallback = None
     try:
-        model, params = build()
-        fwd0 = make_forward(0)
-        v, r, seg, flow = fwd0(videos, jnp.int32(0), zero)  # probe compile
-        np.asarray(seg[0, 0, 0, 0])
-    except Exception as e:  # pragma: no cover - driver-contract safety net
-        # Never leave the driver without a number: degrade to the rolled
-        # scan + XLA corr (the round-2-proven path) and say so in the
-        # output rather than crashing the benchmark.
-        fallback = f"{type(e).__name__}: fell back to rolled scan + jnp corr"
-        os.environ["CSOF_CORR_IMPL"] = "jnp"
-        model, params = build(scan_unroll=1)
+        try:
+            model, params = _build(videos, t)
+            fwd0 = make_forward(0)
+            v, r, seg, flow = fwd0(videos, jnp.int32(0), zero)  # probe compile
+            np.asarray(seg[0, 0, 0, 0])
+        except Exception as e:  # pragma: no cover - driver-contract safety net
+            # Never leave the driver without a number: degrade to the rolled
+            # scan + XLA corr (the round-2-proven path) and say so in the
+            # output rather than crashing the benchmark.
+            fallback = f"{type(e).__name__}: fell back to rolled scan + jnp corr"
+            os.environ["CSOF_CORR_IMPL"] = "jnp"
+            model, params = _build(videos, t, scan_unroll=1)
 
-    per_draw_fps = []
-    for k in range(draws):
-        fwd = make_forward(k)
-        v, r = videos, jnp.int32(0)
-        v, r, seg, flow = fwd(v, r, zero)  # warmup / compile
-        np.asarray(seg[0, 0, 0, 0])  # drain warmup fully (fetch-sync)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            v, r, seg, flow = fwd(v, r, zero)
-        np.asarray(seg[0, 0, 0, 0])  # forces the whole rep chain
-        dt = time.perf_counter() - t0
-        per_draw_fps.append(batch * t * reps / dt)
+        per_draw_fps = []
+        for k in range(draws):
+            fwd = make_forward(k)
+            v, r = videos, jnp.int32(0)
+            v, r, seg, flow = fwd(v, r, zero)  # warmup / compile
+            np.asarray(seg[0, 0, 0, 0])  # drain warmup fully (fetch-sync)
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                v, r, seg, flow = fwd(v, r, zero)
+            np.asarray(seg[0, 0, 0, 0])  # forces the whole rep chain
+            dt = time.perf_counter() - t0
+            per_draw_fps.append(batch * t * reps / dt)
+    except Exception as e:  # pragma: no cover - last-ditch driver contract
+        print(
+            json.dumps(
+                {
+                    "metric": "cine-MRI frames/sec/chip (seg+flow)",
+                    "value": None,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": None,
+                    "error": f"{type(e).__name__}: {e}"[:300],
+                    **({"fallback": fallback} if fallback else {}),
+                }
+            )
+        )
+        return
 
     fps = max(per_draw_fps)
     print(
