@@ -87,8 +87,11 @@ class SegFlowModelConfig:
     use_gru: bool = True
     # decoder upsample: "expand" = the reference's PatchExpand
     # (ConvTranspose(2,2)+GN+GELU, ref: nnunet/lib/utils.py:1982) in the
-    # fast matmul+depth-to-space form; "linear" = bilinear resize (round-2
-    # shape, kept for old checkpoints)
+    # fast matmul+depth-to-space form; "linear" = bilinear resize, which
+    # keeps the round-2 upsample MATH available (note: round-2 checkpoint
+    # FILES do not load either way — the round-3 scope move of
+    # query_encoder/seg_decoder out of the scan step changed the param
+    # tree for all settings)
     dec_upsample: Literal["expand", "linear"] = "expand"
     # per-scale auxiliary decoder heads, weighted 1/2^i in the loss
     # (ref: video.yaml `deep_supervision`; decoder DS heads at

@@ -36,6 +36,13 @@ class AugmentConfig:
     p_mirror: float = 0.5
     p_translate: float = 0.0          # video RandAffined translate (ref: dataset_loading.py:6354)
     translate_range: float = 26.0     # pixels, uniform in ±range per axis
+    # elastic deformation (ref: default_data_augmentation.py:43-46 do_elastic
+    # with p_eldef=0.2; 2D alpha override at :98-99). The V2 recipe turns it
+    # OFF (ref: nnUNetTrainerV2.py:373 do_elastic=False) so the default here
+    # is 0; base-trainer pipelines get it via default_augment_config().
+    p_elastic: float = 0.0
+    elastic_alpha: tuple[float, float] = (0.0, 200.0)   # 2D default
+    elastic_sigma: tuple[float, float] = (9.0, 13.0)
     # intensity (ref: default_data_augmentation.py:39-107)
     p_noise: float = 0.1
     noise_max_sigma: float = 0.1
@@ -91,15 +98,59 @@ def video_augment_config() -> AugmentConfig:
     )
 
 
+def default_augment_config() -> AugmentConfig:
+    """The BASE nnU-Net pipeline envelope (ref:
+    default_data_augmentation.py:39-107 `default_2D_augmentation_params`):
+    identical to the V2 envelope except elastic deformation is ON at
+    p=0.2 (V2 disables it, ref: nnUNetTrainerV2.py:373; base nnUNetTrainer
+    and several flow trainers run this default pipeline)."""
+    return AugmentConfig(p_elastic=0.2)
+
+
 def _bern(key, p):
     return jax.random.bernoulli(key, float(p))
 
 
-def _affine_coords(h: int, w: int, angle, scale, ty=0.0, tx=0.0):
+_ELASTIC_RADIUS = 39  # static blur support: 3*sigma_max (sigma <= 13)
+
+
+def _elastic_offset(key, h: int, w: int, alpha, sigma):
+    """Backward-map displacement field for elastic deformation (H, W, 2):
+    per-axis uniform(-1, 1) noise, gaussian-blurred with traced `sigma`,
+    scaled by `alpha` — the batchgenerators `elastic_deform_coordinates`
+    recipe (ref: default_data_augmentation.py:43-46 params), jittable: the
+    blur is a static-support separable depthwise conv so XLA sees fixed
+    shapes regardless of the drawn sigma."""
+    noise = jax.random.uniform(key, (h, w, 2), minval=-1.0, maxval=1.0)
+    k = _gauss_kernel(sigma, radius=_ELASTIC_RADIUS)
+    r = _ELASTIC_RADIUS
+    kern = jnp.tile(k.reshape(-1, 1, 1, 1), (1, 1, 1, 2))  # (2r+1, 1, 1, 2)
+    x = noise[None]  # (1, H, W, 2)
+    for axis in (1, 2):
+        pad = [(0, 0)] * 4
+        pad[axis] = (r, r)
+        x = jnp.pad(x, pad, mode="reflect")
+        x = jax.lax.conv_general_dilated(
+            x,
+            kern if axis == 1 else kern.reshape(1, -1, 1, 2),
+            (1, 1),
+            "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=2,
+        )
+    return x[0] * alpha
+
+
+def _affine_coords(h: int, w: int, angle, scale, ty=0.0, tx=0.0, disp=None):
     """Rotation+scale about the center plus translation, as backward-map
-    coordinates (H, W, 2)."""
+    coordinates (H, W, 2). `disp` (H, W, 2) is an elastic displacement
+    added to the centered grid BEFORE rotation/scale — batchgenerators
+    order (SpatialTransform deforms the coordinate map first, then
+    rotates/scales it)."""
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     grid = identity_grid((h, w)) - jnp.array([cy, cx])
+    if disp is not None:
+        grid = grid + disp
     cos, sin = jnp.cos(angle), jnp.sin(angle)
     rot = jnp.array([[cos, -sin], [sin, cos]])
     coords = (grid @ rot.T) * scale
@@ -239,7 +290,7 @@ def gaussian_sharpen(key, image, sigma1=(0.1, 0.2), sigma2=(0.2, 0.4), alpha=(2.
 def _spatial_draw(key, h: int, w: int, cfg: AugmentConfig):
     """One random draw of the fused affine + mirror parameters, shared
     between the image/seg pair (and, for video, every frame)."""
-    keys = jax.random.split(key, 9)
+    keys = jax.random.split(key, 12)
     do_rot = _bern(keys[0], cfg.p_rotation)
     angle = jnp.where(
         do_rot,
@@ -256,7 +307,18 @@ def _spatial_draw(key, h: int, w: int, cfg: AugmentConfig):
     r = float(cfg.translate_range)
     ty = jnp.where(do_trans, jax.random.uniform(keys[5], minval=-r, maxval=r), 0.0)
     tx = jnp.where(do_trans, jax.random.uniform(keys[6], minval=-r, maxval=r), 0.0)
-    coords = _affine_coords(h, w, angle, scale, ty, tx)
+    disp = None
+    if cfg.p_elastic > 0:
+        do_el = _bern(keys[9], cfg.p_elastic)
+        alpha = jax.random.uniform(
+            keys[10], minval=cfg.elastic_alpha[0], maxval=cfg.elastic_alpha[1]
+        )
+        k_sig, k_field = jax.random.split(keys[11])
+        sigma = jax.random.uniform(
+            k_sig, minval=cfg.elastic_sigma[0], maxval=cfg.elastic_sigma[1]
+        )
+        disp = jnp.where(do_el, 1.0, 0.0) * _elastic_offset(k_field, h, w, alpha, sigma)
+    coords = _affine_coords(h, w, angle, scale, ty, tx, disp)
     flip_y = _bern(keys[7], cfg.p_mirror)
     flip_x = _bern(keys[8], cfg.p_mirror)
     return coords, flip_y, flip_x
@@ -270,62 +332,71 @@ def _apply_spatial(image, coords, flip_y, flip_x, mode: str):
 
 
 def _apply_intensity(key, image, cfg: AugmentConfig):
-    keys = jax.random.split(key, 10)
+    # Each transform gets TWO independent subkeys: one for the Bernoulli
+    # gate, one for its internal parameter/noise draws. Sharing a key for
+    # both (round-3 ADVICE) correlates WHETHER a transform fires with WHICH
+    # parameters it uses, narrowing the effective augmentation distribution.
+    gates, draws = [], []
+    for k in jax.random.split(key, 10):
+        g, d = jax.random.split(k)
+        gates.append(g)
+        draws.append(d)
 
-    do_noise = _bern(keys[0], cfg.p_noise)
-    sigma_n = jax.random.uniform(keys[0], maxval=cfg.noise_max_sigma)
-    image = image + do_noise * jax.random.normal(keys[0], image.shape) * sigma_n
+    do_noise = _bern(gates[0], cfg.p_noise)
+    k_sigma, k_field = jax.random.split(draws[0])
+    sigma_n = jax.random.uniform(k_sigma, maxval=cfg.noise_max_sigma)
+    image = image + do_noise * jax.random.normal(k_field, image.shape) * sigma_n
 
-    do_blur = _bern(keys[1], cfg.p_blur)
-    sigma_b = jax.random.uniform(keys[1], minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
+    do_blur = _bern(gates[1], cfg.p_blur)
+    sigma_b = jax.random.uniform(draws[1], minval=cfg.blur_sigma[0], maxval=cfg.blur_sigma[1])
     image = jnp.where(do_blur, _separable_blur(image, sigma_b), image)
 
-    do_bright = _bern(keys[2], cfg.p_brightness)
-    factor = jax.random.uniform(keys[2], minval=cfg.brightness_range[0], maxval=cfg.brightness_range[1])
+    do_bright = _bern(gates[2], cfg.p_brightness)
+    factor = jax.random.uniform(draws[2], minval=cfg.brightness_range[0], maxval=cfg.brightness_range[1])
     image = jnp.where(do_bright, image * factor, image)
 
-    do_contrast = _bern(keys[3], cfg.p_contrast)
-    cf = jax.random.uniform(keys[3], minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1])
+    do_contrast = _bern(gates[3], cfg.p_contrast)
+    cf = jax.random.uniform(draws[3], minval=cfg.contrast_range[0], maxval=cfg.contrast_range[1])
     mean = jnp.mean(image)
     image = jnp.where(do_contrast, (image - mean) * cf + mean, image)
 
     if cfg.p_lowres > 0:
         image = jnp.where(
-            _bern(keys[4], cfg.p_lowres),
+            _bern(gates[4], cfg.p_lowres),
             simulate_low_resolution(
-                keys[4], image, cfg.lowres_zoom, cfg.p_lowres_per_channel, cfg.lowres_levels
+                draws[4], image, cfg.lowres_zoom, cfg.p_lowres_per_channel, cfg.lowres_levels
             ),
             image,
         )
 
     if cfg.p_inverted_gamma > 0:
         image = jnp.where(
-            _bern(keys[5], cfg.p_inverted_gamma),
-            gamma_transform(keys[5], image, cfg.gamma_range, invert=True,
+            _bern(gates[5], cfg.p_inverted_gamma),
+            gamma_transform(draws[5], image, cfg.gamma_range, invert=True,
                             retain_stats=cfg.gamma_retain_stats),
             image,
         )
 
-    do_gamma = _bern(keys[6], cfg.p_gamma)
+    do_gamma = _bern(gates[6], cfg.p_gamma)
     image = jnp.where(
         do_gamma,
-        gamma_transform(keys[6], image, cfg.gamma_range, invert=False,
+        gamma_transform(draws[6], image, cfg.gamma_range, invert=False,
                         retain_stats=cfg.gamma_retain_stats),
         image,
     )
 
     if cfg.p_rician > 0:
         image = jnp.where(
-            _bern(keys[7], cfg.p_rician), rician_noise(keys[7], image, cfg.rician_std), image
+            _bern(gates[7], cfg.p_rician), rician_noise(draws[7], image, cfg.rician_std), image
         )
     if cfg.p_gibbs > 0:
         image = jnp.where(
-            _bern(keys[8], cfg.p_gibbs), gibbs_artifact(keys[8], image, cfg.gibbs_alpha), image
+            _bern(gates[8], cfg.p_gibbs), gibbs_artifact(draws[8], image, cfg.gibbs_alpha), image
         )
     if cfg.p_sharpen > 0:
         image = jnp.where(
-            _bern(keys[9], cfg.p_sharpen),
-            gaussian_sharpen(keys[9], image, cfg.sharpen_sigma1, cfg.sharpen_sigma2, cfg.sharpen_alpha),
+            _bern(gates[9], cfg.p_sharpen),
+            gaussian_sharpen(draws[9], image, cfg.sharpen_sigma1, cfg.sharpen_sigma2, cfg.sharpen_alpha),
             image,
         )
     return image

@@ -163,6 +163,12 @@ class Conv3dVia2D(nn.Module):
             x = jnp.pad(x, ((0, 0), pads[0], (0, 0), (0, 0), (0, 0)))
         d_pad = x.shape[1]
         d_out = (d_pad - kz) // sz + 1
+        # Accumulate the cross-dz partial sums in f32 when computing in a
+        # low-precision dtype: the MXU accumulates each conv in f32 anyway,
+        # so rounding each yz to bf16 BEFORE the sum would add kz-1 extra
+        # bf16 roundings versus a native 3D conv's single wide accumulation
+        # (round-3 ADVICE). kz==1 has no cross-dz sum, so no upcast needed.
+        acc_t = jnp.float32 if (kz > 1 and self.dtype != jnp.float32) else self.dtype
         y = None
         for dz in range(kz):
             xs = jax.lax.slice_in_dim(x, dz, dz + (d_out - 1) * sz + 1, 1, axis=1)
@@ -172,10 +178,10 @@ class Conv3dVia2D(nn.Module):
             yz = jax.lax.conv_general_dilated(
                 xs, w[dz], (sy, sx), [pads[1], pads[2]],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=self.dtype,
+                preferred_element_type=acc_t,
             )
             y = yz if y is None else y + yz
-        y = y.reshape(n, d_out, *y.shape[1:])
+        y = y.astype(self.dtype).reshape(n, d_out, *y.shape[1:])
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
             y = y + bias.astype(self.dtype)

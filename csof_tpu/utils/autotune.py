@@ -66,7 +66,11 @@ def autotune_step(
         t0 = time.perf_counter()
         for _ in range(reps):
             out = step(*args)
-            sync(out)
+        # One fetch AFTER the loop (per tools/_timing.py): device programs
+        # execute in order on the single stream, so forcing the last rep's
+        # output forces all of them, without paying the ~25 ms tunnel RTT
+        # per rep that a per-rep sync adds to every record.
+        sync(out)
         dt = (time.perf_counter() - t0) / reps
         rec = {"draw": k, "sec_per_iter": dt, "compile_s": compile_s}
         records.append(rec)

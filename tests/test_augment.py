@@ -157,3 +157,54 @@ def test_video_consistent_across_frames():
     # and seg matches the image transform
     s0 = np.asarray(s_out[0])
     assert (s0[v_out[0, ..., 0] > 0.5] == 2).all()
+
+
+def _zeroed(**kw):
+    base = dict(
+        p_rotation=0, p_scale=0, p_mirror=0, p_noise=0, p_blur=0,
+        p_brightness=0, p_contrast=0, p_gamma=0, p_lowres=0,
+        p_inverted_gamma=0, p_rician=0, p_gibbs=0, p_sharpen=0, p_translate=0,
+    )
+    base.update(kw)
+    return AugmentConfig(**base)
+
+
+def test_elastic_deforms_image_and_seg_consistently():
+    # elastic ON with a strong guaranteed draw; everything else off
+    cfg = _zeroed(p_elastic=1.0, elastic_alpha=(300.0, 300.0))
+    img, seg = _blob(h=48, w=48)
+    out_img, out_seg = augment_sample_2d(jax.random.PRNGKey(7), img, seg, cfg)
+    out_img, out_seg = np.asarray(out_img), np.asarray(out_seg)
+    # it actually deformed something
+    assert np.abs(out_img - np.asarray(img)).max() > 0.1
+    # nearest-sampled seg is a label map
+    assert set(np.unique(out_seg)) <= {0, 2}
+    # image (bilinear) and seg (nearest) follow the SAME warp: deep inside
+    # the deformed blob the image is ~1 exactly where seg==2
+    inside = out_img[..., 0] > 0.95
+    if inside.sum():
+        assert (out_seg[inside] == 2).mean() > 0.9
+    # and mass is roughly conserved (smooth field, no fold explosion)
+    assert 0.5 < out_img.sum() / np.asarray(img).sum() < 1.5
+
+
+def test_elastic_off_is_identity_and_default_config_gates_it():
+    from csof_tpu.data.augment import default_augment_config
+
+    cfg = _zeroed(p_elastic=0.0)
+    img, seg = _blob()
+    out_img, out_seg = augment_sample_2d(jax.random.PRNGKey(1), img, seg, cfg)
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(img), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out_seg), np.asarray(seg))
+    # base pipeline has elastic at p=0.2 (ref: default_data_augmentation.py:43-46);
+    # V2 envelope (AugmentConfig defaults) keeps it off (ref: nnUNetTrainerV2.py:373)
+    assert default_augment_config().p_elastic == 0.2
+    assert AugmentConfig().p_elastic == 0.0
+
+
+def test_elastic_is_jittable():
+    cfg = _zeroed(p_elastic=1.0)
+    img, seg = _blob()
+    f = jax.jit(lambda k, im, sg: augment_sample_2d(k, im, sg, cfg))
+    out_img, out_seg = f(jax.random.PRNGKey(0), img, seg)
+    assert out_img.shape == img.shape and out_seg.shape == seg.shape
