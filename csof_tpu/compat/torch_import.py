@@ -134,3 +134,56 @@ def load_reference_checkpoint(model_file: str, params: dict) -> dict:
     sd = ckpt.get("state_dict", ckpt)
     sd = { (k[len("module."):] if k.startswith("module.") else k): v for k, v in sd.items() }
     return import_generic_unet_weights(sd, params)
+
+
+def _lin_w(t):
+    # torch Linear weight (out, in) -> flax Dense kernel (in, out)
+    return np.asarray(t).T
+
+
+def import_window_attention_weights(state_dict: Mapping[str, "object"], params: dict) -> dict:
+    """Import a reference `WindowAttention` module's weights
+    (ref: nnunet/lib/swin_transformer.py:182 — qkv/proj Linears + the
+    (2w-1)^2 x num_heads relative-position-bias table) into csof
+    `models.swin.WindowAttention` params. Also accepts the
+    `WindowAttentionConvRpe` variant that the MTL model's swin bottleneck
+    actually instantiates (ref: nnunet/lib/swin_transformer_2.py:41 with
+    proj='linear', rpe_mode='bias' per seg_model.yaml:52,103) whose
+    `rpe_table` is the SAME table stored transposed (num_heads, size).
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p = params["params"] if "params" in params else params
+    out = _deep_copy(p)
+    out["Dense_0"]["kernel"] = _lin_w(sd["qkv.weight"]).astype(out["Dense_0"]["kernel"].dtype)
+    out["Dense_0"]["bias"] = sd["qkv.bias"].astype(out["Dense_0"]["bias"].dtype)
+    out["Dense_1"]["kernel"] = _lin_w(sd["proj.weight"]).astype(out["Dense_1"]["kernel"].dtype)
+    out["Dense_1"]["bias"] = sd["proj.bias"].astype(out["Dense_1"]["bias"].dtype)
+    if "relative_position_bias_table" in sd:  # swin_transformer.py layout (size, nh)
+        table = sd["relative_position_bias_table"]
+    else:  # swin_transformer_2 WindowAttentionConvRpe rpe_table (nh, size)
+        table = sd["rpe_table"].T
+    out["rel_pos_bias"] = table.astype(out["rel_pos_bias"].dtype)
+    return {"params": out} if "params" in params else out
+
+
+def import_swin_block_weights(state_dict: Mapping[str, "object"], params: dict) -> dict:
+    """Import a reference `SwinTransformerBlock`'s weights
+    (ref: nnunet/lib/swin_transformer_2.py:314 — norm1/attn/norm2/mlp with
+    the WindowAttentionConvRpe attention, proj='linear', rpe_mode='bias',
+    plain fc1/fc2 Mlp) into csof `models.swin.SwinBlock` params."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    p = params["params"] if "params" in params else params
+    out = _deep_copy(p)
+
+    def _ln(dst, src):
+        out[dst]["scale"] = sd[f"{src}.weight"].astype(out[dst]["scale"].dtype)
+        out[dst]["bias"] = sd[f"{src}.bias"].astype(out[dst]["bias"].dtype)
+
+    _ln("LayerNorm_0", "norm1")
+    _ln("LayerNorm_1", "norm2")
+    attn_sd = {k[len("attn."):]: v for k, v in sd.items() if k.startswith("attn.")}
+    out["WindowAttention_0"] = import_window_attention_weights(attn_sd, out["WindowAttention_0"])
+    for dst, src in (("Dense_0", "mlp.fc1"), ("Dense_1", "mlp.fc2")):
+        out[dst]["kernel"] = _lin_w(sd[f"{src}.weight"]).astype(out[dst]["kernel"].dtype)
+        out[dst]["bias"] = sd[f"{src}.bias"].astype(out[dst]["bias"].dtype)
+    return {"params": out} if "params" in params else out

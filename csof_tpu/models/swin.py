@@ -115,7 +115,7 @@ class SwinBlock(nn.Module):
         x = shortcut + y
         z = nn.LayerNorm(dtype=self.dtype)(x)
         z = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype)(z)
-        z = nn.gelu(z)
+        z = nn.gelu(z, approximate=False)  # ref Mlp uses exact-erf nn.GELU
         z = nn.Dense(self.dim, dtype=self.dtype)(z)
         return x + z
 
