@@ -150,6 +150,33 @@ def analyze_prediction_tree(
     return results
 
 
+def export_strain_curves(report: dict, out_dir: str | Path) -> int:
+    """Write one .npz of strain curves per case, in the Medis-export key
+    convention `S{radial,circ}_{LV,RV}_curve` that the strain-curve metric
+    CLI consumes (ref: save_strain.py:38-80 writes per-patient curves;
+    compute_strain_curve_metric.py:22-38 reads these keys). Returns the
+    number of cases written."""
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n = 0
+    for case, entry in report.items():
+        s = entry.get("strain")
+        if not s:
+            continue
+        arrays = {}
+        for src, dst in (
+            ("lv_radial_strain_mean", "Sradial_LV_curve"),
+            ("lv_strain_mean", "Scirc_LV_curve"),
+            ("rv_strain_mean", "Scirc_RV_curve"),
+        ):
+            if src in s:
+                arrays[dst] = np.asarray(s[src], np.float64)
+        if arrays:
+            np.savez(out_dir / f"{case}.npz", **arrays)
+            n += 1
+    return n
+
+
 def write_strain_csv(report: dict, path: str | Path):
     """Flatten strain means to CSV (ref: merge_csv.py / compute_strain_*)."""
     with open(path, "w", newline="") as f:

@@ -446,7 +446,11 @@ def find_best_configuration_entry(argv=None):
 
 
 def strain_entry(argv=None):
-    from csof_tpu.analysis.flow_analysis import analyze_prediction_tree, write_strain_csv
+    from csof_tpu.analysis.flow_analysis import (
+        analyze_prediction_tree,
+        export_strain_curves,
+        write_strain_csv,
+    )
 
     p = argparse.ArgumentParser("csof_strain")
     p.add_argument("-i", "--input", required=True, help="prediction tree root (Flow/ Registered/ Segmentation/)")
@@ -457,7 +461,10 @@ def strain_entry(argv=None):
     out = a.output or (Path(a.input) / "analysis.json")
     report = analyze_prediction_tree(a.input, out, gt_seg_dir=a.gt_seg)
     write_strain_csv(report, Path(out).with_suffix(".csv"))
-    print(f"analysis -> {out}")
+    # per-case Medis-convention curve files for csof_strain_curve_metric
+    # (ref: save_strain.py per-patient curve export)
+    n = export_strain_curves(report, Path(a.input) / "strain_curves")
+    print(f"analysis -> {out} ({n} strain-curve files)")
 
 
 def jacobian_entry(argv=None):

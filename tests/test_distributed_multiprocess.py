@@ -1,10 +1,15 @@
-"""2-process jax.distributed training on localhost CPU.
+"""Multi-process jax.distributed training on localhost CPU.
 
 Evidence for the multi-host story the single-process mesh dryrun cannot
-give: real cross-process rendezvous + gloo collectives, per-process data
-sharding through the Trainer, and rank-0-only checkpointing — exercising
+give: real cross-process rendezvous + gloo collectives, PROCESS-SPANNING
+data sharding (2 processes x 4 virtual devices each = one 8-device data
+axis), per-rank local-shard feeding through the Trainer, the in-step
+global batch-dice reduction, and rank-0-only checkpointing — exercising
 the scripts/train_tpu_pod.sh code path (ref: nnUNetTrainerV2_DDP.py, which
-the reference could never test without a GPU cluster)."""
+the reference could never test without a GPU cluster). A single-process
+8-device run on the concatenated global batch is the ground truth the
+multi-process run must reproduce.
+"""
 
 import os
 import re
@@ -13,6 +18,9 @@ import subprocess
 import sys
 from pathlib import Path
 
+import numpy as np
+
+DEVICES_PER_PROC = 4
 
 
 def _free_port() -> int:
@@ -21,11 +29,17 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def _worker_env(n_devices: int) -> dict:
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={n_devices}"
+    return env
+
+
 def _run_pair(worker, out, env, timeout=540):
     port = _free_port()
     procs = {
         pid: subprocess.Popen(
-            [sys.executable, str(worker), str(pid), str(port), str(out[pid])],
+            [sys.executable, str(worker), str(pid), str(port), str(out[pid]), "2"],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             text=True,
@@ -46,14 +60,18 @@ def _run_pair(worker, out, env, timeout=540):
     return procs, logs
 
 
+def _parse(tag, pid, logs):
+    m = re.search(rf"RANK{pid} {tag} (.+)", logs[pid])
+    assert m, f"no {tag} line from rank {pid}:\n{logs[pid]}"
+    return m.group(1).split()
+
+
 def test_two_process_training_and_rank0_checkpoint(tmp_path):
     worker = Path(__file__).parent / "distributed_worker.py"
     out = {0: tmp_path / "rank0", 1: tmp_path / "rank1"}
     for d in out.values():
         d.mkdir()
-    # the pytest conftest forces an 8-device virtual CPU platform via
-    # XLA_FLAGS; the workers must see 1 local device per process
-    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env = _worker_env(DEVICES_PER_PROC)
     try:
         procs, logs = _run_pair(worker, out, env)
         failed = any(p.returncode != 0 for p in procs.values())
@@ -72,14 +90,36 @@ def test_two_process_training_and_rank0_checkpoint(tmp_path):
         assert p.returncode == 0, f"rank {pid} failed:\n{logs[pid]}"
         assert f"RANK{pid} OK" in logs[pid]
 
-    # the global (psum'd) loss must agree bit-for-bit across ranks
-    def losses(pid):
-        m = re.search(rf"RANK{pid} LOSSES (.+)", logs[pid])
-        assert m, logs[pid]
-        return m.group(1).split()
-
-    assert losses(0) == losses(1), f"rank loss divergence:\n{logs[0]}\n{logs[1]}"
+    # the global (psum'd) loss and dice stats must agree bit-for-bit
+    # across ranks — they are outputs of the same sharded program
+    for tag in ("LOSSES", "VAL"):
+        assert _parse(tag, 0, logs) == _parse(tag, 1, logs), (
+            f"rank divergence on {tag}:\n{logs[0]}\n{logs[1]}"
+        )
 
     # rank-0-only checkpoint IO (ref: nnUNetTrainerV2_DDP.py:118)
     assert list(out[0].glob("model_*.msgpack")), "rank 0 wrote no checkpoint"
     assert not list(out[1].glob("model_*.msgpack")), "rank 1 must not write checkpoints"
+
+    # ground truth: a SINGLE process with the same 8-device data axis
+    # training on the concatenated global batch must see the same losses
+    # and global batch-dice statistics as the 2-process run
+    single_out = tmp_path / "single"
+    single_out.mkdir()
+    sp = subprocess.run(
+        [sys.executable, str(worker), "0", "0", str(single_out), "1"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        env=_worker_env(2 * DEVICES_PER_PROC),
+        timeout=540,
+    )
+    assert sp.returncode == 0, f"single-process worker failed:\n{sp.stdout}"
+    slogs = {0: sp.stdout}
+    for tag in ("LOSSES", "VAL"):
+        multi = np.array([float(x) for x in _parse(tag, 0, logs) if x != "DICESTATS"])
+        single = np.array([float(x) for x in _parse(tag, 0, slogs) if x != "DICESTATS"])
+        # same global program over the same global data; only collective
+        # implementation (gloo cross-process vs in-process) may reorder
+        # float reductions
+        np.testing.assert_allclose(multi, single, rtol=1e-5, atol=1e-7, err_msg=tag)
