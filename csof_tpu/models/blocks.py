@@ -194,6 +194,50 @@ def _conv3d_via_2d_enabled() -> bool:
     return os.environ.get("CSOF_CONV3D_IMPL", "2d") == "2d"
 
 
+def _conv2d_tapsum_enabled(kernel_size, ci: int, co: int) -> bool:
+    from csof_tpu.ops.tapsum_conv import conv2d_impl, tapsum_worthwhile
+
+    kh, kw = kernel_size
+    return conv2d_impl() == "tapsum" and tapsum_worthwhile(kh, kw, ci, co)
+
+
+class TapsumConv(nn.Module):
+    """Stride-1 2D conv computed in the tap-sum form (ops/tapsum_conv.py):
+    one matmul with Kh*Kw*Co output lanes + fused shifted adds, instead of
+    XLA's Co-lane implicit matmul — full MXU occupancy for the narrow-Cout
+    stages. Param names ("kernel"/"bias") and shapes are IDENTICAL to
+    nn.Conv, so checkpoints transfer between impls."""
+
+    features: int
+    kernel_size: Sequence[int]
+    padding: Sequence[tuple] | None = None
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        from csof_tpu.ops.tapsum_conv import conv2d_tapsum
+
+        kh, kw = self.kernel_size
+        w = self.param(
+            "kernel", self.kernel_init, (kh, kw, x.shape[-1], self.features), jnp.float32
+        )
+        b = (
+            self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        pads = [tuple(p) for p in self.padding] if self.padding is not None else None
+        return conv2d_tapsum(
+            x.astype(self.dtype),
+            w.astype(self.dtype),
+            None if b is None else b.astype(self.dtype),
+            padding=pads,
+        )
+
+
 class ConvNormAct(nn.Module):
     """conv -> norm -> activation (ref: ConvDropoutNormNonlin,
     generic_UNet.py:26-69; dropout p=0 in the V2 recipe so omitted)."""
@@ -224,6 +268,23 @@ class ConvNormAct(nn.Module):
                 self.features,
                 kernel_size=tuple(self.kernel_size),
                 strides=tuple(self.strides) if self.strides else None,
+                padding=pad,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                name="Conv_0",
+            )(x)
+        elif (
+            len(self.kernel_size) == 2
+            and (self.strides is None or tuple(self.strides) == (1, 1))
+            and _conv2d_tapsum_enabled(self.kernel_size, x.shape[-1], self.features)
+        ):
+            # tap-sum form: the KxK taps ride the matmul OUTPUT dim so a
+            # narrow-Cout conv still fills the 128 MXU lanes (see
+            # ops/tapsum_conv.py). Param path/shape identical to nn.Conv
+            # ("Conv_0" kernel/bias) so checkpoints transfer either way.
+            x = TapsumConv(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
                 padding=pad,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.he_normal(),

@@ -1,0 +1,95 @@
+"""Tap-sum 2D convolution: full MXU lane occupancy for narrow-channel convs.
+
+Why: XLA lowers a KxK conv to an implicit matmul with contraction dim
+K*K*Cin and OUTPUT dim Cout. The MXU is 128 lanes wide on the output dim,
+so a Cout=32 conv (the finest decoder/encoder stages of every model here,
+and the whole 3D fullres pipeline) occupies 25% of the lanes — the measured
+~8.5 TF/s "conv plateau" at C=32 vs 26+ TF/s at C>=128
+(docs/BENCHMARKS.md).
+
+The tap-sum form factors the same conv as ONE matmul whose output dim is
+the (tap, out-channel) product:
+
+    y[n,i,j,(a,b,co)] = sum_c x[n,i,j,c] * w[a,b,c,co]        # matmul,
+                                                  # output width K*K*Cout
+    out[n,i,j,co]     = sum_(a,b) y[n, i+a-p, j+b-p, (a,b,co)] # K*K shifted
+                                                  # adds (VPU/fusion)
+
+Identical FLOPs, but the matmul runs with K*K*Cout output lanes (288 for a
+3x3 Cout=32 conv — full occupancy) and contraction over Cin only. The
+shifted adds are bandwidth work XLA fuses into one pass. Taps accumulate in
+f32 and cast once, so low-precision results match the native conv's single
+wide accumulation.
+
+Use where Cout is small relative to 128 and stride is 1; for wide convs the
+native lowering is already lane-full and the extra y-buffer traffic loses.
+Selection is by the `CSOF_CONV2D_IMPL` env knob (native | tapsum) plus the
+`tapsum_worthwhile` heuristic — measured on-chip in tools/bench_tapsum.py.
+
+ref: this replaces the hot conv path of the reference's per-frame decoder
+(ref: nnunet/lib/decoder_alt.py:781 Decoder2D convs) and the nnU-Net 3D
+stages (ref: generic_UNet.py conv blocks) — same math, TPU-native layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def tapsum_worthwhile(kh: int, kw: int, ci: int, co: int, strides=(1, 1)) -> bool:
+    """Heuristic: tap-sum wins when the native conv wastes MXU output lanes
+    (co < 128) and the tap product keeps the matmul lane-full without
+    blowing the y-buffer (kh*kw*co within a few 128-lane tiles)."""
+    if tuple(strides) != (1, 1):
+        return False
+    return co < 128 and kh * kw * co <= 512 and kh * kw > 1
+
+
+def conv2d_tapsum(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
+                  padding=None) -> jnp.ndarray:
+    """Stride-1 KxK conv in the tap-sum form.
+
+    x: (N, H, W, Ci) [or (H, W, Ci)]; w: (Kh, Kw, Ci, Co); padding: per-axis
+    (lo, hi) pairs like lax.conv (default odd-SAME). Returns x.dtype.
+    """
+    unbatched = x.ndim == 3
+    if unbatched:
+        x = x[None]
+    kh, kw, ci, co = w.shape
+    if padding is None:
+        padding = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+    (pt, pb), (pl, pr) = padding
+    n, h, wd, _ = x.shape
+
+    # the single lane-full matmul: (N*H*W, Ci) @ (Ci, Kh*Kw*Co)
+    wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(ci, kh * kw * co)
+    y = jax.lax.dot_general(
+        x, wm.astype(x.dtype),
+        (((3,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (N, H, W, Kh*Kw*Co) f32
+
+    # shifted tap accumulation: out[i,j] = sum_ab y[i+a-pt, j+b-pl, (a,b,:)]
+    # == sum over taps of a static slice of the zero-padded y
+    y = jnp.pad(y, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+    out = None
+    for a in range(kh):
+        for b_ in range(kw):
+            tap = jax.lax.slice(
+                y,
+                (0, a, b_, (a * kw + b_) * co),
+                (n, a + h + pt + pb - kh + 1, b_ + wd + pl + pr - kw + 1,
+                 (a * kw + b_ + 1) * co),
+            )
+            out = tap if out is None else out + tap
+    out = out.astype(x.dtype)
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out[0] if unbatched else out
+
+
+def conv2d_impl() -> str:
+    return os.environ.get("CSOF_CONV2D_IMPL", "native")

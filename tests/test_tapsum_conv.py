@@ -1,0 +1,99 @@
+"""Tap-sum conv (ops/tapsum_conv.py): exactness vs the native lowering and
+drop-in param compatibility inside ConvNormAct."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from csof_tpu.models.blocks import ConvNormAct
+from csof_tpu.ops.tapsum_conv import conv2d_tapsum, tapsum_worthwhile
+
+
+@pytest.mark.parametrize(
+    "kh,kw,ci,co,h,w", [(3, 3, 64, 32, 16, 20), (3, 3, 5, 7, 9, 11), (5, 3, 4, 6, 12, 10)]
+)
+def test_matches_native_conv(kh, kw, ci, co, h, w):
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
+    wt = jnp.asarray(rng.randn(kh, kw, ci, co).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(co).astype(np.float32))
+    pad = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
+    ref = (
+        jax.lax.conv_general_dilated(
+            x, wt, (1, 1), pad, dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        + b
+    )
+    got = conv2d_tapsum(x, wt, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_gradients_match_native():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    wt = jnp.asarray(rng.randn(3, 3, 4, 3).astype(np.float32))
+
+    def f_tap(w, x):
+        return jnp.sum(conv2d_tapsum(x, w) ** 2)
+
+    def f_nat(w, x):
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        return jnp.sum(y**2)
+
+    for argnum in (0, 1):
+        g1 = jax.grad(f_tap, argnum)(wt, x)
+        g2 = jax.grad(f_nat, argnum)(wt, x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
+def test_worthwhile_heuristic():
+    assert tapsum_worthwhile(3, 3, 64, 32)
+    assert not tapsum_worthwhile(3, 3, 128, 128)  # already lane-full
+    assert not tapsum_worthwhile(3, 3, 64, 32, strides=(2, 2))
+    assert not tapsum_worthwhile(1, 1, 64, 32)  # no taps to widen with
+
+
+def test_convnormact_env_switch_same_params_same_output(monkeypatch):
+    """The tapsum branch must consume the SAME Conv_0 kernel/bias params and
+    give the same output as the native branch (checkpoint compatibility)."""
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 16, 16, 24).astype(np.float32))
+    mod = ConvNormAct(32, (3, 3), norm="group")
+
+    monkeypatch.delenv("CSOF_CONV2D_IMPL", raising=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+
+    monkeypatch.setenv("CSOF_CONV2D_IMPL", "tapsum")
+    p2 = mod.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_segflow_forward_same_under_tapsum(monkeypatch):
+    """Whole-model check: flagship forward is numerically unchanged."""
+    from csof_tpu.config.experiment import SegFlowModelConfig
+    from csof_tpu.models.segflow import SegFlow
+
+    cfg = SegFlowModelConfig(
+        out_encoder_dims=(8, 16), d_model=16, bottleneck_heads=2,
+        dim_feedforward=32, corr_radius=(1, 1), corr_stride=(1, 1),
+        dtype="float32", deep_supervision=False,
+    )
+    video = jnp.asarray(np.random.RandomState(3).rand(3, 16, 16, 1).astype(np.float32))
+    model = SegFlow(cfg=cfg, num_classes=3)
+    monkeypatch.delenv("CSOF_CONV2D_IMPL", raising=False)
+    params = model.init(jax.random.PRNGKey(0), video)
+    ref = model.apply(params, video)
+    monkeypatch.setenv("CSOF_CONV2D_IMPL", "tapsum")
+    p2 = model.init(jax.random.PRNGKey(0), video)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    got = model.apply(params, video)
+    for k in ("seg_logits", "flow", "cum_flow"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(ref[k]), atol=5e-5, rtol=1e-4, err_msg=k
+        )
