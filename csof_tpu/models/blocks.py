@@ -169,17 +169,30 @@ class Conv3dVia2D(nn.Module):
         # bf16 roundings versus a native 3D conv's single wide accumulation
         # (round-3 ADVICE). kz==1 has no cross-dz sum, so no upcast needed.
         acc_t = jnp.float32 if (kz > 1 and self.dtype != jnp.float32) else self.dtype
+        # narrow-Cout inner convs can run lane-full in the tap-sum form
+        # (ops/tapsum_conv.py) — the 3D-fullres C=32 plateau breaker
+        tapsum = (
+            (sy, sx) == (1, 1)
+            and _conv2d_tapsum_enabled((ky, kx), ci, self.features)
+        )
         y = None
         for dz in range(kz):
             xs = jax.lax.slice_in_dim(x, dz, dz + (d_out - 1) * sz + 1, 1, axis=1)
             if sz > 1:
                 xs = xs[:, ::sz]
             xs = xs.reshape(n * d_out, h, wd, ci)
-            yz = jax.lax.conv_general_dilated(
-                xs, w[dz], (sy, sx), [pads[1], pads[2]],
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=acc_t,
-            )
+            if tapsum:
+                from csof_tpu.ops.tapsum_conv import conv2d_tapsum
+
+                yz = conv2d_tapsum(
+                    xs, w[dz], padding=[pads[1], pads[2]], out_dtype=acc_t
+                )
+            else:
+                yz = jax.lax.conv_general_dilated(
+                    xs, w[dz], (sy, sx), [pads[1], pads[2]],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=acc_t,
+                )
             y = yz if y is None else y + yz
         y = y.astype(self.dtype).reshape(n, d_out, *y.shape[1:])
         if self.use_bias:

@@ -49,11 +49,13 @@ def tapsum_worthwhile(kh: int, kw: int, ci: int, co: int, strides=(1, 1)) -> boo
 
 
 def conv2d_tapsum(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
-                  padding=None) -> jnp.ndarray:
+                  padding=None, out_dtype=None) -> jnp.ndarray:
     """Stride-1 KxK conv in the tap-sum form.
 
     x: (N, H, W, Ci) [or (H, W, Ci)]; w: (Kh, Kw, Ci, Co); padding: per-axis
-    (lo, hi) pairs like lax.conv (default odd-SAME). Returns x.dtype.
+    (lo, hi) pairs like lax.conv (default odd-SAME). Returns x.dtype, or
+    `out_dtype` if given (e.g. f32 to chain into a wider accumulation —
+    the tap sum is f32 internally either way).
     """
     unbatched = x.ndim == 3
     if unbatched:
@@ -85,7 +87,7 @@ def conv2d_tapsum(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
                  (a * kw + b_ + 1) * co),
             )
             out = tap if out is None else out + tap
-    out = out.astype(x.dtype)
+    out = out.astype(x.dtype if out_dtype is None else out_dtype)
     if b is not None:
         out = out + b.astype(out.dtype)
     return out[0] if unbatched else out

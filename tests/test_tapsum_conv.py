@@ -97,3 +97,18 @@ def test_segflow_forward_same_under_tapsum(monkeypatch):
         np.testing.assert_allclose(
             np.asarray(got[k]), np.asarray(ref[k]), atol=5e-5, rtol=1e-4, err_msg=k
         )
+
+
+def test_conv3dvia2d_tapsum_matches_native(monkeypatch):
+    """3D conv (via-2D) under tapsum == native inner convs, same params."""
+    from csof_tpu.models.blocks import Conv3dVia2D
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.rand(1, 5, 12, 12, 8).astype(np.float32))
+    mod = Conv3dVia2D(16, kernel_size=(3, 3, 3))
+    monkeypatch.delenv("CSOF_CONV2D_IMPL", raising=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("CSOF_CONV2D_IMPL", "tapsum")
+    got = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
