@@ -49,13 +49,23 @@ def tapsum_worthwhile(kh: int, kw: int, ci: int, co: int, strides=(1, 1)) -> boo
 
 
 def conv2d_tapsum(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
-                  padding=None, out_dtype=None) -> jnp.ndarray:
-    """Stride-1 KxK conv in the tap-sum form.
+                  padding=None, out_dtype=None, mode: str | None = None) -> jnp.ndarray:
+    """Stride-1 KxK conv in a tap-sum form.
 
     x: (N, H, W, Ci) [or (H, W, Ci)]; w: (Kh, Kw, Ci, Co); padding: per-axis
     (lo, hi) pairs like lax.conv (default odd-SAME). Returns x.dtype, or
     `out_dtype` if given (e.g. f32 to chain into a wider accumulation —
     the tap sum is f32 internally either way).
+
+    mode:
+    - "cols" (default): a (Kh, 1) conv whose output channels are the
+      (kw-tap, Cout) product — contraction Kh*Ci, output Kw*Co lanes —
+      followed by Kw shifted adds along W. The intermediate is Kw*Co wide
+      (3x smaller than "taps"), so HBM traffic stays low while lane
+      occupancy rises Kw-fold (96/128 for a 3x3 Cout=32 conv).
+    - "taps": ONE matmul over Ci with all Kh*Kw taps on the output dim
+      (288 lanes, 100% occupancy) + Kh*Kw shifted adds; maximal lanes but
+      a Kh*Kw*Co-wide f32 intermediate — wins only when spatial is small.
     """
     unbatched = x.ndim == 3
     if unbatched:
@@ -65,28 +75,50 @@ def conv2d_tapsum(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
         padding = [((kh - 1) // 2, kh // 2), ((kw - 1) // 2, kw // 2)]
     (pt, pb), (pl, pr) = padding
     n, h, wd, _ = x.shape
+    if mode is None:
+        mode = os.environ.get("CSOF_TAPSUM_MODE", "cols")
 
-    # the single lane-full matmul: (N*H*W, Ci) @ (Ci, Kh*Kw*Co)
-    wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(ci, kh * kw * co)
-    y = jax.lax.dot_general(
-        x, wm.astype(x.dtype),
-        (((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, H, W, Kh*Kw*Co) f32
-
-    # shifted tap accumulation: out[i,j] = sum_ab y[i+a-pt, j+b-pl, (a,b,:)]
-    # == sum over taps of a static slice of the zero-padded y
-    y = jnp.pad(y, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
-    out = None
-    for a in range(kh):
+    if mode == "cols":
+        # (Kh, 1) conv: contraction (Kh, Ci), output channels (Kw, Co)
+        k2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(kh, 1, ci, kw * co)
+        y = jax.lax.conv_general_dilated(
+            x, k2.astype(x.dtype), (1, 1), [(pt, pb), (0, 0)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )  # (N, Hout, W, Kw*Co) f32
+        hout = h + pt + pb - kh + 1
+        y = jnp.pad(y, ((0, 0), (0, 0), (pl, pr), (0, 0)))
+        wout = wd + pl + pr - kw + 1
+        out = None
         for b_ in range(kw):
             tap = jax.lax.slice(
-                y,
-                (0, a, b_, (a * kw + b_) * co),
-                (n, a + h + pt + pb - kh + 1, b_ + wd + pl + pr - kw + 1,
-                 (a * kw + b_ + 1) * co),
+                y, (0, 0, b_, b_ * co), (n, hout, b_ + wout, (b_ + 1) * co)
             )
             out = tap if out is None else out + tap
+    elif mode == "taps":
+        # the single lane-full matmul: (N*H*W, Ci) @ (Ci, Kh*Kw*Co)
+        wm = jnp.transpose(w, (2, 0, 1, 3)).reshape(ci, kh * kw * co)
+        y = jax.lax.dot_general(
+            x, wm.astype(x.dtype),
+            (((3,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N, H, W, Kh*Kw*Co) f32
+
+        # shifted tap accumulation: out[i,j] = sum_ab y[i+a-pt, j+b-pl, (a,b,:)]
+        # == sum over taps of a static slice of the zero-padded y
+        y = jnp.pad(y, ((0, 0), (pt, pb), (pl, pr), (0, 0)))
+        out = None
+        for a in range(kh):
+            for b_ in range(kw):
+                tap = jax.lax.slice(
+                    y,
+                    (0, a, b_, (a * kw + b_) * co),
+                    (n, a + h + pt + pb - kh + 1, b_ + wd + pl + pr - kw + 1,
+                     (a * kw + b_ + 1) * co),
+                )
+                out = tap if out is None else out + tap
+    else:
+        raise ValueError(f"unknown tapsum mode {mode!r}")
     out = out.astype(x.dtype if out_dtype is None else out_dtype)
     if b is not None:
         out = out + b.astype(out.dtype)

@@ -13,7 +13,8 @@ from csof_tpu.ops.tapsum_conv import conv2d_tapsum, tapsum_worthwhile
 @pytest.mark.parametrize(
     "kh,kw,ci,co,h,w", [(3, 3, 64, 32, 16, 20), (3, 3, 5, 7, 9, 11), (5, 3, 4, 6, 12, 10)]
 )
-def test_matches_native_conv(kh, kw, ci, co, h, w):
+@pytest.mark.parametrize("mode", ["cols", "taps"])
+def test_matches_native_conv(kh, kw, ci, co, h, w, mode):
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(2, h, w, ci).astype(np.float32))
     wt = jnp.asarray(rng.randn(kh, kw, ci, co).astype(np.float32) * 0.1)
@@ -25,7 +26,7 @@ def test_matches_native_conv(kh, kw, ci, co, h, w):
         )
         + b
     )
-    got = conv2d_tapsum(x, wt, b)
+    got = conv2d_tapsum(x, wt, b, mode=mode)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
 
 
@@ -35,13 +36,15 @@ def test_gradients_match_native():
     wt = jnp.asarray(rng.randn(3, 3, 4, 3).astype(np.float32))
 
     def f_tap(w, x):
-        return jnp.sum(conv2d_tapsum(x, w) ** 2)
+        return jnp.sum(conv2d_tapsum(x, w, mode="cols") ** 2) + jnp.sum(
+            conv2d_tapsum(x, w, mode="taps") ** 2
+        )
 
     def f_nat(w, x):
         y = jax.lax.conv_general_dilated(
             x, w, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
         )
-        return jnp.sum(y**2)
+        return 2 * jnp.sum(y**2)
 
     for argnum in (0, 1):
         g1 = jax.grad(f_tap, argnum)(wt, x)

@@ -59,10 +59,13 @@ def main(names):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
 
-        def tapsum(x, w):
-            return conv2d_tapsum(x, w)
+        def cols(x, w):
+            return conv2d_tapsum(x, w, mode="cols")
 
-        for impl_name, conv in (("native", native), ("tapsum", tapsum)):
+        def taps(x, w):
+            return conv2d_tapsum(x, w, mode="taps")
+
+        for impl_name, conv in (("native", native), ("cols", cols), ("taps", taps)):
             # forward: per-pixel tanh feedback defeats linearity collapse
             @jax.jit
             def fwd_step(x, w):
@@ -94,12 +97,13 @@ def main(names):
             results[f"{name}.{impl_name}.grad"] = {
                 "ms": round(dt * 1e3, 3), "tfs": round(3 * gflop / dt / 1e3, 1),
             }
-        n, t = f"{name}.native.fwd", f"{name}.tapsum.fwd"
-        print(f"{name}: fwd native {results[n]['ms']} ms ({results[n]['tfs']} TF/s) "
-              f"vs tapsum {results[t]['ms']} ms ({results[t]['tfs']} TF/s)", flush=True)
-        n, t = f"{name}.native.grad", f"{name}.tapsum.grad"
-        print(f"{name}: grad native {results[n]['ms']} ms vs tapsum {results[t]['ms']} ms",
-              flush=True)
+        for what in ("fwd", "grad"):
+            line = " vs ".join(
+                f"{i} {results[f'{name}.{i}.{what}']['ms']} ms "
+                f"({results[f'{name}.{i}.{what}']['tfs']} TF/s)"
+                for i in ("native", "cols", "taps")
+            )
+            print(f"{name} {what}: {line}", flush=True)
     print(json.dumps(results))
 
 
