@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from csof_tpu.utils.autotune import autotune_step, jiggle_term
+import pytest
 
 
 def test_jiggle_is_exact_noop_at_zero():
@@ -40,6 +41,7 @@ def test_autotune_step_picks_working_binary():
     assert float(step(x, jnp.float32(0.0))) == 16.0
 
 
+@pytest.mark.slow
 def test_trainer_autotune_env(tmp_path, monkeypatch):
     """CSOF_AUTOTUNE_DRAWS compiles K binaries, picks one, and restores the
     training state so the timed steps do not advance training."""

@@ -56,6 +56,10 @@ def test_dead_backend_emits_json_error_line(monkeypatch, capsys):
     def boom(*a, **kw):
         raise RuntimeError("Unable to initialize backend 'axon': UNAVAILABLE")
 
+    # bench.main() setdefaults CSOF_CORR_IMPL=pallas for the TPU run; pin it
+    # first so the in-process call can't leak a non-interpret pallas default
+    # into the rest of the CPU suite (monkeypatch restores on teardown)
+    monkeypatch.setenv("CSOF_CORR_IMPL", "jnp")
     monkeypatch.setattr(jax.numpy, "asarray", boom)
     try:
         bench.main()

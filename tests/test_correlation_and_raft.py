@@ -93,6 +93,7 @@ def test_convex_upsample_constant_flow():
     np.testing.assert_allclose(np.asarray(up)[8:-8, 8:-8], 8.0, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_raft_forward_shapes():
     cfg = RaftModelConfig(iters=2, corr_levels=2, corr_radius=2, hidden_dim=32,
                           context_dim=32, feature_dim=32, dtype="float32")

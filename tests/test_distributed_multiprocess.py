@@ -19,6 +19,7 @@ import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 DEVICES_PER_PROC = 4
 
@@ -66,6 +67,7 @@ def _parse(tag, pid, logs):
     return m.group(1).split()
 
 
+@pytest.mark.slow
 def test_two_process_training_and_rank0_checkpoint(tmp_path):
     worker = Path(__file__).parent / "distributed_worker.py"
     out = {0: tmp_path / "rank0", 1: tmp_path / "rank1"}

@@ -3,8 +3,10 @@
 import yaml
 
 from csof_tpu.cli import main as cli
+import pytest
 
 
+@pytest.mark.slow
 def test_3d_train_predict(tmp_path):
     task = tmp_path / "task"
     pre = tmp_path / "pre"

@@ -17,6 +17,7 @@ def workspace(tmp_path_factory):
     return tmp_path_factory.mktemp("e2e")
 
 
+@pytest.mark.slow
 def test_full_cycle(workspace):
     task = workspace / "task"
     pre = workspace / "pre"

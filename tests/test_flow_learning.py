@@ -10,6 +10,7 @@ import optax
 from csof_tpu.config.experiment import VoxelMorphModelConfig
 from csof_tpu.models.voxelmorph import VoxelMorph
 from csof_tpu.ops.losses import ncc_loss, spatial_gradient_penalty
+import pytest
 
 
 def test_voxelmorph_learns_translation():
@@ -55,6 +56,7 @@ def test_voxelmorph_learns_translation():
     assert abs(abs(inner.mean()) - 2.0) < 1.5, f"flow_y mean {inner.mean():.2f}"
 
 
+@pytest.mark.slow
 def test_voxelmorph_3d_registration_learns():
     """3D flow capability (ref: lib/decoder_alt.py:1284 Decoder3D / :2203
     FlowDecoder3D): the same VoxelMorph module on a (N, D, H, W, C) volume

@@ -7,6 +7,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from csof_tpu.models.diffusion import DiffusionConfig
 from csof_tpu.models.generative import (
@@ -92,6 +93,7 @@ def test_controlnet_zero_init_and_freeze():
     assert any(v > 0 for k, v in flat_moved.items() if flat_labels[k] == "control")
 
 
+@pytest.mark.slow
 def test_swin_gan_steps():
     gen = SwinGenerator(features=(16, 8), base_hw=4, num_heads=2, window=2)
     disc = SwinDiscriminator(features=(8, 16), num_heads=2, window=2)

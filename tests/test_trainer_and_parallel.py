@@ -55,6 +55,7 @@ def seg_batches(batch=8):
         yield {"data": x, "seg": y}
 
 
+@pytest.mark.slow
 def test_seg_trainer_runs_and_improves(tmp_path):
     cfg = seg_config()
     it = seg_batches()

@@ -197,6 +197,7 @@ def test_fast_conv_transpose_matches_flax(kernel):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
 
 
+@pytest.mark.slow
 def test_remat_save_conv_policy_matches_full_remat():
     """remat_policy='save_conv' (store conv outputs, recompute only the
     norm+act epilogues) must produce the same loss and grads as full remat
