@@ -187,6 +187,15 @@ class Conv3dVia2D(nn.Module):
                 yz = conv2d_tapsum(
                     xs, w[dz], padding=[pads[1], pads[2]], out_dtype=acc_t
                 )
+            elif acc_t != self.dtype:
+                # wide-accum conv with a low-precision-safe gradient (the
+                # raw preferred_element_type=f32 conv has no valid
+                # transpose rule on bf16 inputs)
+                from csof_tpu.ops.tapsum_conv import conv2d_f32acc
+
+                yz = conv2d_f32acc(
+                    xs, w[dz], (sy, sx), (tuple(pads[1]), tuple(pads[2]))
+                )
             else:
                 yz = jax.lax.conv_general_dilated(
                     xs, w[dz], (sy, sx), [pads[1], pads[2]],

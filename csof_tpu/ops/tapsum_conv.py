@@ -34,9 +34,51 @@ stages (ref: generic_UNet.py conv blocks) — same math, TPU-native layout.
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv2d_f32acc(x, w, strides, padding):
+    """NHWC/HWIO 2D conv with f32 ACCUMULATION that is also differentiable.
+
+    `lax.conv_general_dilated(preferred_element_type=f32)` on low-precision
+    inputs keeps the MXU's wide accumulation (one rounding instead of one
+    per partial sum) — but its transpose rule then feeds the f32 cotangent
+    into a conv against the bf16 kernel, which lax rejects ("requires
+    arguments to have the same dtypes"). This wrapper keeps the wide-accum
+    forward and defines the backward as the SAME-dtype conv vjp with the
+    cotangent cast once to the input dtype — standard mixed-precision
+    backward (the grads a bf16-out conv would produce).
+
+    strides/padding must be hashable tuples (they are nondiff static args).
+    """
+    return jax.lax.conv_general_dilated(
+        x, w, strides, padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv2d_f32acc_fwd(x, w, strides, padding):
+    return conv2d_f32acc(x, w, strides, padding), (x, w)
+
+
+def _conv2d_f32acc_bwd(strides, padding, res, dy):
+    x, w = res
+    _, vjp = jax.vjp(
+        lambda x_, w_: jax.lax.conv_general_dilated(
+            x_, w_, strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ),
+        x, w,
+    )
+    return vjp(dy.astype(x.dtype))
+
+
+conv2d_f32acc.defvjp(_conv2d_f32acc_fwd, _conv2d_f32acc_bwd)
 
 
 def tapsum_worthwhile(kh: int, kw: int, ci: int, co: int, strides=(1, 1)) -> bool:
@@ -81,10 +123,12 @@ def conv2d_tapsum(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray | None = None,
     if mode == "cols":
         # (Kh, 1) conv: contraction (Kh, Ci), output channels (Kw, Co)
         k2 = jnp.transpose(w, (0, 2, 1, 3)).reshape(kh, 1, ci, kw * co)
-        y = jax.lax.conv_general_dilated(
-            x, k2.astype(x.dtype), (1, 1), [(pt, pb), (0, 0)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+        # conv2d_f32acc: wide-accum forward + a transpose rule that works in
+        # low precision (the raw preferred_element_type=f32 conv is not
+        # differentiable on bf16 inputs — lax rejects the mixed-dtype
+        # backward conv)
+        y = conv2d_f32acc(
+            x, k2.astype(x.dtype), (1, 1), ((pt, pb), (0, 0))
         )  # (N, Hout, W, Kw*Co) f32
         hout = h + pt + pb - kh + 1
         y = jnp.pad(y, ((0, 0), (0, 0), (pl, pr), (0, 0)))

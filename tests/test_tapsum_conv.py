@@ -52,6 +52,63 @@ def test_gradients_match_native():
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
 
 
+def test_bf16_grads_work_and_match_f32():
+    """Low-precision regression: conv2d_f32acc keeps the wide-accum forward
+    but must stay DIFFERENTIABLE on bf16 inputs (the raw
+    preferred_element_type=f32 conv has no valid transpose rule there —
+    this crashed grad through every bf16 (3,3,3) Conv3dVia2D)."""
+    from csof_tpu.ops.tapsum_conv import conv2d_f32acc
+
+    rng = np.random.RandomState(5)
+    x32 = jnp.asarray(rng.randn(1, 8, 8, 4).astype(np.float32))
+    w32 = jnp.asarray(rng.randn(3, 3, 4, 3).astype(np.float32) * 0.1)
+
+    def loss(x, w, mode):
+        return conv2d_tapsum(x, w, mode=mode).astype(jnp.float32).sum()
+
+    for mode in ("cols", "taps"):
+        gx, gw = jax.grad(
+            lambda x, w: loss(x, w, mode), argnums=(0, 1)
+        )(x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16))
+        gx32, gw32 = jax.grad(
+            lambda x, w: loss(x, w, mode), argnums=(0, 1)
+        )(x32, w32)
+        np.testing.assert_allclose(
+            np.asarray(gx, np.float32), np.asarray(gx32), atol=0.15, rtol=0.1
+        )
+        np.testing.assert_allclose(
+            np.asarray(gw, np.float32), np.asarray(gw32), atol=0.5, rtol=0.1
+        )
+
+    # the helper directly: same story, plus forward == wide-accum conv
+    y = conv2d_f32acc(
+        x32.astype(jnp.bfloat16), w32.astype(jnp.bfloat16), (1, 1),
+        ((1, 1), (1, 1)),
+    )
+    assert y.dtype == jnp.float32
+    g = jax.grad(
+        lambda x: conv2d_f32acc(x, w32.astype(jnp.bfloat16), (1, 1),
+                                ((1, 1), (1, 1))).sum()
+    )(x32.astype(jnp.bfloat16))
+    assert g.dtype == jnp.bfloat16
+
+
+def test_conv3dvia2d_bf16_grad():
+    """grad through a bf16 (3,3,3) Conv3dVia2D — the exact geometry the
+    save_conv remat test trains (f32 cross-dz accumulation, kz>1)."""
+    from csof_tpu.models.blocks import Conv3dVia2D
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.rand(1, 4, 8, 8, 4).astype(np.float32))
+    mod = Conv3dVia2D(6, kernel_size=(3, 3, 3), dtype=jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(
+        lambda p: mod.apply(p, x).astype(jnp.float32).sum()
+    )(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l, np.float32))) for l in leaves)
+
+
 def test_worthwhile_heuristic():
     assert tapsum_worthwhile(3, 3, 64, 32)
     assert not tapsum_worthwhile(3, 3, 128, 128)  # already lane-full
