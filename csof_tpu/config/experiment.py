@@ -84,6 +84,13 @@ class SegFlowModelConfig:
     #             fused; factorizes the corr part of the conv (low-rank),
     #             trading a little capacity for a much smaller fuse conv
     corr_fuse: Literal["concat", "split", "project", "mean1"] = "concat"
+    # split-mode only: precompute the query-side fuse conv conv_q(q) ONCE,
+    # T-batched, outside the temporal recurrence (it depends only on the
+    # hoisted query skips, never on the carry) instead of as `levels` serial
+    # batch-1 convs per scan step. Exact same math; the conv_q params move
+    # from the scan-step scope to the SegFlow top level (`fuse_q_{lvl}`) —
+    # `models.segflow.hoist_fuse_q_params` maps existing checkpoints.
+    fuse_q_hoist: bool = False
     use_gru: bool = True
     # decoder upsample: "expand" = the reference's PatchExpand
     # (ConvTranspose(2,2)+GN+GELU, ref: nnunet/lib/utils.py:1982) in the

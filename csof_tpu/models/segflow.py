@@ -185,7 +185,7 @@ class SkipFuse(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, m, corr, corr_cm: bool = False):
+    def __call__(self, q, m, corr, corr_cm: bool = False, q_pre=None):
         if corr_cm and self.mode != "split":
             corr = jnp.moveaxis(corr, 1, -1)
             corr_cm = False
@@ -196,8 +196,13 @@ class SkipFuse(nn.Module):
             )
         if self.mode == "split":
             y = (
-                nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
-                        kernel_init=nn.initializers.he_normal(), name="conv_q")(q)
+                # q_pre = conv_q(q) precomputed T-batched OUTSIDE the scan
+                # (cfg.fuse_q_hoist); the in-step conv_q params then don't
+                # exist — hoist_fuse_q_params maps checkpoints between the
+                # two layouts
+                (q_pre if q_pre is not None else
+                 nn.Conv(self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                         kernel_init=nn.initializers.he_normal(), name="conv_q")(q))
                 + nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
                           dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
                           name="conv_m")(m)
@@ -249,7 +254,7 @@ class SegFlowStep(nn.Module):
         ablate = set(
             filter(None, os.environ.get("CSOF_SEGFLOW_ABLATE", "").split(","))
         )
-        frame, q_skips, q_skips_cm, t_idx, dist = inputs
+        frame, q_skips, q_skips_cm, q_pre, t_idx, dist = inputs
         cfg = self.cfg
         dtype = jnp.dtype(cfg.dtype)
         # cum_flow rides the carry CHANNEL-MAJOR (2, H, W): a channels-last
@@ -302,7 +307,9 @@ class SegFlowStep(nn.Module):
                 SkipFuse(q.shape[-1], mode=cfg.corr_fuse, norm=cfg.norm, dtype=dtype,
                          name=f"skip_fuse_{lvl}")(q[None], m[None],
                                                   None if corr is None else corr[None],
-                                                  corr_cm=out_cm)[0]
+                                                  corr_cm=out_cm,
+                                                  q_pre=None if q_pre is None
+                                                  else q_pre[lvl][None])[0]
             )
             if cfg.use_cost_volume:
                 # similarity-map observability: best local correlation per
@@ -433,6 +440,20 @@ class SegFlow(nn.Module):
         # ~80% of the pallas corr cost (docs/BENCHMARKS.md late round 3)
         q_skips_cm_t = [jnp.moveaxis(s, -1, 1) for s in q_skips_t]
 
+        # split-mode fuse_q_hoist: the query-side third of each SkipFuse conv
+        # depends only on the hoisted query skips, so run it ONCE, T-batched,
+        # here instead of as `levels` serial batch-1 convs per scan step
+        # (exact same math — a conv is linear in its input channels)
+        if cfg.corr_fuse == "split" and cfg.fuse_q_hoist:
+            q_pre_t = tuple(
+                nn.Conv(s.shape[-1], (3, 3), padding="SAME", dtype=dtype,
+                        kernel_init=nn.initializers.he_normal(),
+                        name=f"fuse_q_{lvl}")(s)
+                for lvl, s in enumerate(q_skips_t)
+            )
+        else:
+            q_pre_t = None
+
         # --- recurrent phase: scan the flow path over frames --------------
         x0 = video[0]
         hidden0 = jnp.zeros((hb, wb, cfg.d_model), dtype)
@@ -461,6 +482,7 @@ class SegFlow(nn.Module):
                     carry,
                     (video[i], tuple(s[i] for s in q_skips_t),
                      tuple(s[i] for s in q_skips_cm_t),
+                     None if q_pre_t is None else tuple(s[i] for s in q_pre_t),
                      jnp.int32(i), distance[i]),
                 )
                 per_t.append(o)
@@ -479,10 +501,36 @@ class SegFlow(nn.Module):
             )(cfg=cfg, num_classes=self.num_classes)
             _, outs = scan(
                 carry0,
-                (video, tuple(q_skips_t), tuple(q_skips_cm_t),
+                (video, tuple(q_skips_t), tuple(q_skips_cm_t), q_pre_t,
                  jnp.arange(t), distance),
             )
         outs["seg_logits"] = seg_logits
         if cfg.deep_supervision:
             outs["seg_ds"] = seg_ds
         return outs
+
+
+def hoist_fuse_q_params(variables: dict) -> dict:
+    """Map split-mode checkpoint params between the fuse_q layouts.
+
+    With `fuse_q_hoist` ON, the SkipFuse conv_q params live at the SegFlow
+    top level (`fuse_q_{lvl}`) instead of inside the scan-step scope
+    (`<ScanSegFlowStep_0>/skip_fuse_{lvl}/conv_q`). The weights are the
+    SAME tensors either way (the hoist changes only where the conv runs),
+    so a checkpoint trained in one layout loads in the other after this
+    move. Returns a new variables dict; input is not mutated."""
+    import copy
+
+    variables = copy.deepcopy(variables)
+    params = variables["params"]
+    step_scopes = [
+        k for k in params
+        if isinstance(params[k], dict)
+        and any(n.startswith("skip_fuse_") for n in params[k])
+    ]
+    for scope in step_scopes:
+        for name in list(params[scope]):
+            if name.startswith("skip_fuse_") and "conv_q" in params[scope][name]:
+                lvl = name.removeprefix("skip_fuse_")
+                params[f"fuse_q_{lvl}"] = params[scope][name].pop("conv_q")
+    return variables

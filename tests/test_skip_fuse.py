@@ -108,6 +108,44 @@ def test_split_mode_channel_major_corr_matches():
     )
 
 
+def test_fuse_q_hoist_exactly_matches_in_step_conv():
+    """fuse_q_hoist=True (conv_q run once, T-batched, outside the scan) is
+    EXACTLY the same math as the in-step conv_q; params map between the two
+    layouts with hoist_fuse_q_params. Checked across both temporal paths
+    (rolled scan and fully-unrolled loop)."""
+    from csof_tpu.models.segflow import hoist_fuse_q_params
+
+    video = jnp.asarray(np.random.RandomState(3).rand(3, 16, 16, 1).astype(np.float32))
+    base = dict(
+        out_encoder_dims=(4, 8, 16), d_model=16, bottleneck_heads=2,
+        dim_feedforward=32, corr_radius=(1, 1, 1), corr_stride=(1, 1, 1),
+        dtype="float32", corr_fuse="split",
+    )
+    for unroll in (1, 99):  # rolled scan / plain Python loop
+        cfg = SegFlowModelConfig(**base, scan_unroll=unroll)
+        model = SegFlow(cfg=cfg, num_classes=4)
+        params = model.init(jax.random.PRNGKey(0), video)
+        out = model.apply(params, video)
+
+        cfg_h = SegFlowModelConfig(**base, scan_unroll=unroll, fuse_q_hoist=True)
+        model_h = SegFlow(cfg=cfg_h, num_classes=4)
+        params_h = hoist_fuse_q_params(params)
+        # mapped tree must exactly match the hoisted model's own init tree
+        ref_tree = jax.tree_util.tree_structure(
+            model_h.init(jax.random.PRNGKey(1), video)
+        )
+        assert jax.tree_util.tree_structure(params_h) == ref_tree
+        out_h = model_h.apply(params_h, video)
+        np.testing.assert_allclose(
+            np.asarray(out["seg_logits"]), np.asarray(out_h["seg_logits"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["cum_flow"]), np.asarray(out_h["cum_flow"]),
+            atol=2e-5, rtol=1e-5,
+        )
+
+
 def test_segflow_split_grads_finite():
     """End-to-end split mode (channel-major corr path) trains: finite grads
     through the q_cm + out_cm corr and the NCHW fuse conv."""

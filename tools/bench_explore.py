@@ -111,6 +111,17 @@ SWEEPS = {
         ("concat_b8", {"scan_unroll": 12, "corr_fuse": "concat"}, dict(batch=8, draws=3)),
         ("splitcm_b8", {"scan_unroll": 12, "corr_fuse": "split"}, dict(batch=8, draws=3)),
     ],
+    # round-4 serving pick: the pending q_cm glue-cut (split keeps corr
+    # channel-major kernel->NCHW conv, no per-step transpose) and the
+    # fuse_q_hoist (conv_q once, T-batched, outside the scan) — exact same
+    # math as concat in all three rows
+    "r4serve": [
+        ("concat_b8", {"scan_unroll": 12, "corr_fuse": "concat"}, dict(batch=8, draws=3)),
+        ("split_b8", {"scan_unroll": 12, "corr_fuse": "split"}, dict(batch=8, draws=3)),
+        ("split_qhoist_b8",
+         {"scan_unroll": 12, "corr_fuse": "split", "fuse_q_hoist": True},
+         dict(batch=8, draws=3)),
+    ],
     # decoder upsample mode at the serving config: the reference-accurate
     # PatchExpand (matmul ConvTranspose+GN+GELU) vs bilinear resize
     "decups": [
