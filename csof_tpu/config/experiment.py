@@ -91,6 +91,16 @@ class SegFlowModelConfig:
     # from the scan-step scope to the SegFlow top level (`fuse_q_{lvl}`) —
     # `models.segflow.hoist_fuse_q_params` maps existing checkpoints.
     fuse_q_hoist: bool = False
+    # run the two cross-attention bottlenecks (current-vs-previous and
+    # current-vs-ED+motion, ref: SegFlowGaussian.py:1395-1407) as ONE
+    # pair-batched call instead of two serial ones. Exact same math (the
+    # layers share no params; their weights are stacked on a leading pair
+    # axis), but every projection/norm/FFN runs once at batch 2 instead of
+    # twice at batch 1 — halves the kernel count on the latency-bound
+    # 32x32-token bottleneck path. Params live under `bottleneck_dual`
+    # (stacked); `models.segflow.fuse_bottleneck_params` maps checkpoints
+    # between the layouts.
+    attn_fused: bool = False
     use_gru: bool = True
     # decoder upsample: "expand" = the reference's PatchExpand
     # (ConvTranspose(2,2)+GN+GELU, ref: nnunet/lib/utils.py:1982) in the

@@ -175,13 +175,30 @@ class Conv3dVia2D(nn.Module):
             (sy, sx) == (1, 1)
             and _conv2d_tapsum_enabled((ky, kx), ci, self.features)
         )
+        # ... or in the Pallas cols kernel (ops/pallas/conv.py): the
+        # tap-widened matmul with the column adds done IN VMEM — no HBM
+        # round trip for the widened intermediate (CSOF_CONV2D_IMPL=pallas)
+        pallas_cols = (
+            not tapsum
+            and pads[1] == ((ky - 1) // 2, ky // 2)
+            and pads[2] == ((kx - 1) // 2, kx // 2)
+            and _conv2d_pallas_enabled((ky, kx), (sy, sx), ci, self.features, wd)
+        )
         y = None
         for dz in range(kz):
             xs = jax.lax.slice_in_dim(x, dz, dz + (d_out - 1) * sz + 1, 1, axis=1)
             if sz > 1:
                 xs = xs[:, ::sz]
             xs = xs.reshape(n * d_out, h, wd, ci)
-            if tapsum:
+            if pallas_cols:
+                from csof_tpu.ops.pallas.conv import conv3x3_cols_vb
+
+                # interpret mode off-TPU so CPU tests exercise the same path
+                yz = conv3x3_cols_vb(
+                    xs, w[dz], jax.default_backend() != "tpu",
+                    acc_t == jnp.float32,
+                )
+            elif tapsum:
                 from csof_tpu.ops.tapsum_conv import conv2d_tapsum
 
                 yz = conv2d_tapsum(
@@ -223,6 +240,16 @@ def _conv2d_tapsum_enabled(kernel_size, ci: int, co: int) -> bool:
     return conv2d_impl() == "tapsum" and tapsum_worthwhile(kh, kw, ci, co)
 
 
+def _conv2d_pallas_enabled(kernel_size, strides, ci: int, co: int,
+                           w: int | None = None) -> bool:
+    from csof_tpu.ops.pallas.conv import conv3x3_cols_worthwhile
+    from csof_tpu.ops.tapsum_conv import conv2d_impl
+
+    return conv2d_impl() == "pallas" and conv3x3_cols_worthwhile(
+        kernel_size, strides, ci, co, w
+    )
+
+
 class TapsumConv(nn.Module):
     """Stride-1 2D conv computed in the tap-sum form (ops/tapsum_conv.py):
     one matmul with Kh*Kw*Co output lanes + fused shifted adds, instead of
@@ -260,6 +287,39 @@ class TapsumConv(nn.Module):
         )
 
 
+class PallasConv(nn.Module):
+    """Stride-1 3x3 SAME conv via the Pallas cols kernel
+    (ops/pallas/conv.py): H-im2col matmul with tap-widened output lanes +
+    in-VMEM column adds. Param names ("kernel"/"bias") and shapes are
+    IDENTICAL to nn.Conv, so checkpoints transfer between impls."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        from csof_tpu.ops.pallas.conv import conv3x3_cols_vb
+
+        w = self.param(
+            "kernel", self.kernel_init, (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        unbatched = x.ndim == 3
+        if unbatched:
+            x = x[None]
+        y = conv3x3_cols_vb(
+            x.astype(self.dtype), w.astype(self.dtype),
+            jax.default_backend() != "tpu",
+        )
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y[0] if unbatched else y
+
+
 class ConvNormAct(nn.Module):
     """conv -> norm -> activation (ref: ConvDropoutNormNonlin,
     generic_UNet.py:26-69; dropout p=0 in the V2 recipe so omitted)."""
@@ -291,6 +351,21 @@ class ConvNormAct(nn.Module):
                 kernel_size=tuple(self.kernel_size),
                 strides=tuple(self.strides) if self.strides else None,
                 padding=pad,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                name="Conv_0",
+            )(x)
+        elif (
+            len(self.kernel_size) == 2
+            and (self.strides is None or tuple(self.strides) == (1, 1))
+            and _conv2d_pallas_enabled(
+                self.kernel_size, (1, 1), x.shape[-1], self.features, x.shape[-2]
+            )
+        ):
+            # Pallas cols kernel (see PallasConv); param path pinned to
+            # "Conv_0" kernel/bias so checkpoints transfer either way
+            x = PallasConv(
+                self.features,
                 dtype=self.dtype,
                 kernel_init=nn.initializers.he_normal(),
                 name="Conv_0",

@@ -333,6 +333,26 @@ class SegFlowStep(nn.Module):
         )[None, None, :]
         if "attn" in ablate:
             bottleneck = jnp.concatenate([cur, cur], axis=-1).astype(dtype)
+        elif cfg.attn_fused:
+            # both bottlenecks in ONE pair-batched attention call: params are
+            # stacked on a leading axis of 2 (pair 0 = prev-matching, pair 1
+            # = ED+motion), so each projection/norm/FFN is a single batch-2
+            # kernel instead of two serial batch-1 ones. Math identical to
+            # the unfused path (fuse_bottleneck_params maps checkpoints).
+            dual = nn.vmap(
+                CrossAttentionLayer,
+                in_axes=0,
+                out_axes=0,
+                variable_axes={"params": 0, "intermediates": 0},
+                split_rngs={"params": True},
+            )(cfg.d_model, cfg.bottleneck_heads, cfg.dim_feedforward, dtype,
+              name="bottleneck_dual")
+            b12 = dual(
+                jnp.stack([cur, cur]),
+                jnp.stack([prev_bottleneck, m_skips[-1]]),
+                jnp.stack([prev_bottleneck, hidden]),
+            )
+            bottleneck = jnp.concatenate([b12[0], b12[1]], axis=-1).astype(dtype)
         else:
             # bottleneck 1: match current against previous-frame bottleneck
             b1 = CrossAttentionLayer(
@@ -508,6 +528,34 @@ class SegFlow(nn.Module):
         if cfg.deep_supervision:
             outs["seg_ds"] = seg_ds
         return outs
+
+
+def fuse_bottleneck_params(variables: dict) -> dict:
+    """Map checkpoint params between the attention-bottleneck layouts.
+
+    With `attn_fused` ON, the two cross-attention bottlenecks' params are
+    STACKED on a leading pair axis under `bottleneck_dual` (pair 0 = the
+    `bottleneck_prev` weights, pair 1 = `bottleneck_ed`) instead of living
+    as two sibling scopes. The weights are the same tensors either way, so
+    a checkpoint trained unfused loads fused after this move (and the fused
+    math is identical). Returns a new variables dict; input not mutated."""
+    import copy
+
+    variables = copy.deepcopy(variables)
+    params = variables["params"]
+    step_scopes = [
+        k for k in params
+        if isinstance(params[k], dict)
+        and "bottleneck_prev" in params[k]
+        and "bottleneck_ed" in params[k]
+    ]
+    for scope in step_scopes:
+        prev = params[scope].pop("bottleneck_prev")
+        ed = params[scope].pop("bottleneck_ed")
+        params[scope]["bottleneck_dual"] = jax.tree_util.tree_map(
+            lambda a, b: jnp.stack([a, b]), prev, ed
+        )
+    return variables
 
 
 def hoist_fuse_q_params(variables: dict) -> dict:

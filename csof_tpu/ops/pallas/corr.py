@@ -529,12 +529,11 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
 
     The batched kernel carries a custom VJP (pallas_call has no JVP rule,
     so the kernel would otherwise be forward-only). The backward DEFAULTS
-    to the XLA shifted-slice/scatter-add implementation below (the proven
-    105-f/s training path): the roll+fma Pallas backward kernel
-    `_corr_bwd_tile_kernel` exceeds the 16 MB scoped-VMEM stack limit on
-    the real backend at large C x K^2 (Mosaic keeps every unrolled
-    offset's rolled f32 slab live). CSOF_CORR_BWD=pallas opts in; CPU
-    interpret-mode tests always exercise the kernel for correctness."""
+    to the dx-gridded v2 Pallas kernels (proven on-chip round 4: 13-17x
+    the XLA shifted-slice backward per level, 87.6 -> 234.7 train f/s
+    in-model); CSOF_CORR_BWD=jnp selects the XLA path, pallas_v1 the
+    fused one-step kernel (VMEM-stack-OOMs at large C x K^2, kept for
+    the record). CPU interpret-mode tests exercise v2 for correctness."""
 
     @jax.custom_vjp
     def batched(query, memory):
@@ -556,15 +555,17 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
 
         impl = os.environ.get("CSOF_CORR_BWD")
         if impl not in ("jnp", "pallas", "pallas_v1"):
-            # Default to the XLA shifted-slice backward: the fused one-step
-            # Pallas backward (v1) VMEM-stack-OOMs on the real backend at
-            # large C x K^2 (measured: c=128/81 windows wants a 120.9 MB
-            # scoped stack vs the 16 MB limit — Mosaic keeps every unrolled
-            # offset's rolled f32 slab live). The dx-gridded v2 kernels
-            # bound the live set but are not yet proven faster than XLA on
-            # the real chip. interpret mode (CPU tests) exercises v2;
-            # CSOF_CORR_BWD=pallas opts in (pallas_v1 = the fused kernel).
-            impl = "pallas" if interpret else "jnp"
+            # Default: the dx-gridded v2 Pallas backward. Proven on-chip in
+            # round 4: 1.24/1.44/1.48 ms per fwd+bwd at the three SegFlow
+            # level geometries vs 18.7/20.2/25.2 ms for the XLA
+            # shifted-slice backward (13-17x), and in-model it lifted the
+            # b=4 train step from 87.6 to 234.7 frames/s (2.7x,
+            # tools/bench_corr_bwd.py + bench_segflow_train.py, sweep
+            # r4b). CSOF_CORR_BWD=jnp is the escape hatch; pallas_v1 (the
+            # fused one-step kernel) still VMEM-stack-OOMs at large C x K^2
+            # (120.9 MB scoped stack vs the 16 MB limit) and stays opt-in
+            # for the record.
+            impl = "pallas"
         if q_cm:
             # backward math below is channels-last; the primal query (and
             # therefore dq) is channel-major when the caller hoisted the

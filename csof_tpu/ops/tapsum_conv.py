@@ -23,8 +23,13 @@ wide accumulation.
 
 Use where Cout is small relative to 128 and stride is 1; for wide convs the
 native lowering is already lane-full and the extra y-buffer traffic loses.
-Selection is by the `CSOF_CONV2D_IMPL` env knob (native | tapsum) plus the
-`tapsum_worthwhile` heuristic — measured on-chip in tools/bench_tapsum.py.
+Selection is by the `CSOF_CONV2D_IMPL` env knob (native | tapsum | pallas —
+pallas selects the in-VMEM cols kernel in ops/pallas/conv.py, which keeps
+the widened intermediate out of HBM entirely) plus the `tapsum_worthwhile`
+heuristic — measured on-chip in tools/bench_tapsum.py. Round-4 verdict:
+the XLA-level tap-sum is a measured NEGATIVE at every grad geometry (the
+HBM round trip for the tap intermediate dominates; docs/BENCHMARKS.md);
+it is kept as the record of why the Pallas kernel exists.
 
 ref: this replaces the hot conv path of the reference's per-frame decoder
 (ref: nnunet/lib/decoder_alt.py:781 Decoder2D convs) and the nnU-Net 3D

@@ -93,3 +93,38 @@ def test_generic_unet_checkpoint_transfers_across_impls(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_native), np.asarray(y_2d), atol=2e-5, rtol=1e-5
     )
+
+
+def test_conv3d_via2d_pallas_cols_matches_native(monkeypatch):
+    """CSOF_CONV2D_IMPL=pallas routes the stride-1 3x3 inner convs through
+    the Pallas cols kernel (interpret mode off-TPU) — same params, same
+    outputs as the native path, for both kz=1 and kz=3."""
+    rng = np.random.RandomState(11)
+    # W * C must be 128-aligned for the kernel: W=16, Ci=8 -> 128
+    x = jnp.asarray(rng.randn(2, 6, 8, 16, 8).astype(np.float32))
+    for kernel in ((1, 3, 3), (3, 3, 3)):
+        mod = Conv3dVia2D(16, kernel_size=kernel, padding=_same_pad(kernel))
+        params = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.delenv("CSOF_CONV2D_IMPL", raising=False)
+        ref = mod.apply(params, x)
+        monkeypatch.setenv("CSOF_CONV2D_IMPL", "pallas")
+        out = mod.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5
+        )
+
+
+def test_convnormact_2d_pallas_cols_matches_native(monkeypatch):
+    """The 2D ConvNormAct branch under CSOF_CONV2D_IMPL=pallas (PallasConv,
+    param path pinned to Conv_0) matches the nn.Conv branch bit-for-tol."""
+    from csof_tpu.models.blocks import ConvNormAct
+
+    rng = np.random.RandomState(12)
+    x = jnp.asarray(rng.randn(2, 12, 16, 8).astype(np.float32))
+    mod = ConvNormAct(16, (3, 3), norm="group")
+    monkeypatch.delenv("CSOF_CONV2D_IMPL", raising=False)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    ref = mod.apply(params, x)
+    monkeypatch.setenv("CSOF_CONV2D_IMPL", "pallas")
+    out = mod.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)

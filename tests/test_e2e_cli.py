@@ -85,6 +85,7 @@ def test_flow_tree_analysis_cli(workspace, tmp_path):
     assert (root / "analysis.csv").exists()
 
 
+@pytest.mark.slow  # consumes test_full_cycle's workspace (also slow-marked)
 def test_model_zoo_and_utility_clis(workspace, tmp_path):
     """The thin-wrapper console scripts: determine_postprocessing,
     export/install model zip, print models, change model kind, task overlay

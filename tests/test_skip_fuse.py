@@ -146,6 +146,44 @@ def test_fuse_q_hoist_exactly_matches_in_step_conv():
         )
 
 
+def test_attn_fused_exactly_matches_two_layers():
+    """attn_fused=True (the two cross-attention bottlenecks as ONE
+    pair-batched call, params stacked on a leading pair axis) is exactly
+    the same math as the two serial layers; fuse_bottleneck_params maps the
+    unfused checkpoint layout to the fused one. Checked across the rolled
+    scan and the fully-unrolled loop."""
+    from csof_tpu.models.segflow import fuse_bottleneck_params
+
+    video = jnp.asarray(np.random.RandomState(7).rand(3, 16, 16, 1).astype(np.float32))
+    base = dict(
+        out_encoder_dims=(4, 8, 16), d_model=16, bottleneck_heads=2,
+        dim_feedforward=32, corr_radius=(1, 1, 1), corr_stride=(1, 1, 1),
+        dtype="float32",
+    )
+    for unroll in (1, 99):
+        cfg = SegFlowModelConfig(**base, scan_unroll=unroll)
+        model = SegFlow(cfg=cfg, num_classes=4)
+        params = model.init(jax.random.PRNGKey(0), video)
+        out = model.apply(params, video)
+
+        cfg_f = SegFlowModelConfig(**base, scan_unroll=unroll, attn_fused=True)
+        model_f = SegFlow(cfg=cfg_f, num_classes=4)
+        params_f = fuse_bottleneck_params(params)
+        ref_tree = jax.tree_util.tree_structure(
+            model_f.init(jax.random.PRNGKey(1), video)
+        )
+        assert jax.tree_util.tree_structure(params_f) == ref_tree
+        out_f = model_f.apply(params_f, video)
+        np.testing.assert_allclose(
+            np.asarray(out["seg_logits"]), np.asarray(out_f["seg_logits"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["cum_flow"]), np.asarray(out_f["cum_flow"]),
+            atol=2e-5, rtol=1e-5,
+        )
+
+
 def test_segflow_split_grads_finite():
     """End-to-end split mode (channel-major corr path) trains: finite grads
     through the q_cm + out_cm corr and the NCHW fuse conv."""

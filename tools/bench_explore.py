@@ -122,6 +122,17 @@ SWEEPS = {
          {"scan_unroll": 12, "corr_fuse": "split", "fuse_q_hoist": True},
          dict(batch=8, draws=3)),
     ],
+    # round-4 serving pick, stage 2: the pair-batched attention bottleneck
+    # (attn_fused) on top of the r4serve winner — exact same math rows
+    "r4serve2": [
+        ("concat_attnf_b8",
+         {"scan_unroll": 12, "corr_fuse": "concat", "attn_fused": True},
+         dict(batch=8, draws=3)),
+        ("split_qhoist_attnf_b8",
+         {"scan_unroll": 12, "corr_fuse": "split", "fuse_q_hoist": True,
+          "attn_fused": True},
+         dict(batch=8, draws=3)),
+    ],
     # decoder upsample mode at the serving config: the reference-accurate
     # PatchExpand (matmul ConvTranspose+GN+GELU) vs bilinear resize
     "decups": [

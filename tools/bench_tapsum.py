@@ -65,7 +65,16 @@ def main(names):
         def taps(x, w):
             return conv2d_tapsum(x, w, mode="taps")
 
-        for impl_name, conv in (("native", native), ("cols", cols), ("taps", taps)):
+        def pallas(x, w):
+            from csof_tpu.ops.pallas.conv import conv3x3_cols
+
+            return conv3x3_cols(x, w, jax.default_backend() != "tpu")
+
+        impls = [("native", native), ("cols", cols), ("taps", taps)]
+        if (w * ci) % 128 == 0 and (w * co) % 128 == 0:
+            impls.append(("pallas", pallas))
+
+        for impl_name, conv in impls:
             # forward: per-pixel tanh feedback defeats linearity collapse
             @jax.jit
             def fwd_step(x, w):
@@ -101,7 +110,7 @@ def main(names):
             line = " vs ".join(
                 f"{i} {results[f'{name}.{i}.{what}']['ms']} ms "
                 f"({results[f'{name}.{i}.{what}']['tfs']} TF/s)"
-                for i in ("native", "cols", "taps")
+                for i, _ in impls
             )
             print(f"{name} {what}: {line}", flush=True)
     print(json.dumps(results))
