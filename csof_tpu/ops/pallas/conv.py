@@ -16,13 +16,20 @@ stored. HBM traffic is exactly input + output, both in the model dtype.
     y[(i,j), (b,co)] = sum_{a,c} x[i+a-1, j, c] * w[a, b, c, co]   # MXU
     out[i, j, co]    = sum_b y[i, j+b-1, (b,co)]                   # VMEM adds
 
-Layout: rows ride the grid; each (batch, row-tile) step DMAs a haloed row
-slab viewed as (rows, W*C) — the merged (column, channel) lane axis keeps
-every DMA 128-aligned with no channel padding (a (.., W, 32) block would
-lane-pad 32 -> 128, quadrupling traffic). The backward-input pass is the
-SAME kernel with the spatially-flipped, io-transposed weights; dL/dw stays
-on XLA (its (3,3,ci,co)-shaped output is a different, reduction-bound
-matmul that XLA already handles at the plateau rate).
+Layout (v2, channel-major): rows ride the grid; each (batch, row-tile)
+step DMAs a haloed (Ci, slab, Wp) slab with the W axis lane-padded to 128.
+v1 used a channels-last merged (row, W*C) layout to keep DMAs packed, but
+its in-kernel lane-SPLITTING reshape (slab, W*C) -> (slab, W, C) is an
+"unsupported shape cast" on this backend's Mosaic, and a direct 32-lane
+DMA is rejected too (tools/probe_mosaic.py records the legality of every
+candidate op). The channel-major form needs neither; its cost is the XLA
+transpose on either side of the call (~2x input/output HBM traffic) and
+the Wp lane pad for W % 128 != 0.
+
+The backward-input pass is the SAME kernel with the spatially-flipped,
+io-transposed weights; dL/dw stays on XLA (its (3,3,ci,co)-shaped output
+is a different, reduction-bound matmul that XLA already handles at the
+plateau rate).
 
 ref: replaces the hot conv path of the reference's 3D stages
 (ref: nnunet/network_architecture/generic_UNet.py conv blocks) via
@@ -45,15 +52,22 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _conv_cols_kernel(w2_ref, x_hbm, o_ref, x_vmem, sem, *, tile_h: int,
-                      slab: int, w_log: int, ci: int, co: int):
-    """One (batch, row-tile) grid step.
+                      slab: int, wp: int, w_log: int, ci: int, co: int):
+    """One (batch, row-tile) grid step, CHANNEL-MAJOR layout.
 
-    w2_ref: (3*ci, 3*co) VMEM — w transposed to [(a,c), (b,co)]
-    x_hbm:  (B, rows, W*ci) row-padded input resident in HBM (pl.ANY)
-    o_ref:  (1, tile_h, W*co) output block
-    x_vmem: (2, slab, W*ci) double-buffered scratch, slab = tile_h + 2
-            rounded to the sublane tile; grid steps run sequentially so
-            step `lin` prefetches the slab for step `lin+1`.
+    w2_ref: (3*co, 3*ci) VMEM — w transposed to [(b,co), (a,c)]
+    x_hbm:  (B, Ci, rows, Wp) row-padded channel-major input in HBM
+    o_ref:  (1, co, tile_h, Wp) output block
+    x_vmem: (2, Ci, slab, Wp) double-buffered scratch; step `lin`
+            prefetches the slab for step `lin+1` (corr-kernel pattern).
+
+    Mosaic legality (tools/probe_mosaic.py, measured on this backend):
+    lane-splitting reshapes like (slab, W*C) -> (slab, W, C) are REJECTED
+    ("unsupported shape cast"), as are DMAs with a 32-wide lane dim — which
+    killed the first, channels-last version of this kernel on-chip. The
+    channel-major form needs neither: the im2col is a sublane shift+concat
+    on the MAJOR axis, the matmul is a rank-3 dot_general (legal), and the
+    column taps are lane rolls + masks exactly like the corr kernel.
     """
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -65,7 +79,7 @@ def _conv_cols_kernel(w2_ref, x_hbm, o_ref, x_vmem, sem, *, tile_h: int,
 
     def dma(bb, ii, sl):
         return pltpu.make_async_copy(
-            x_hbm.at[bb, pl.ds(ii * tile_h, slab), :],
+            x_hbm.at[bb, :, pl.ds(ii * tile_h, slab), :],
             x_vmem.at[sl],
             sem.at[sl],
         )
@@ -83,37 +97,53 @@ def _conv_cols_kernel(w2_ref, x_hbm, o_ref, x_vmem, sem, *, tile_h: int,
         dma(b + 1, 0, nslot).start()
 
     dma(b, i, slot).wait()
-    x = x_vmem[slot].reshape(slab, w_log, ci)
-    # H-only im2col: K = (a, c) on lanes. Row r of tap a is padded-input row
-    # (i*tile_h + r + a), i.e. logical row (i*tile_h + r + a - 1).
-    xcol = jnp.concatenate([x[a : a + tile_h] for a in range(3)], axis=-1)
+    x = x_vmem[slot]  # (Ci, slab, Wp)
+    # H-only im2col on the MAJOR axis: row r of tap a is padded-input row
+    # (i*tile_h + r + a), i.e. logical row (i*tile_h + r + a - 1). Flatten
+    # (TH, Wp) into ONE lane axis (128-aligned merge, probe-legal) so the
+    # whole tile is a single 2D MXU matmul — the rank-3 dot_general form
+    # measured only 7.1 TF/s on-chip (it lowers per-row).
+    xcol = jnp.concatenate([x[:, a : a + tile_h, :] for a in range(3)], axis=0)
+    xcol = xcol.reshape(3 * ci, tile_h * wp)
+    # ONE tap-widened matmul: (3co, 3ci) x (3ci, TH*Wp) -> (3co, TH*Wp)
     y = jax.lax.dot_general(
-        xcol.reshape(tile_h * w_log, 3 * ci),
-        w2_ref[...],
+        w2_ref[...], xcol,
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(tile_h, w_log, 3 * co)
-    # column taps: out[i, j, co] = sum_b y[i, j+b-1, (b, co)] — static
-    # sublane shifts of the f32 accumulator, zero at the W edges (SAME)
-    ypad = jnp.pad(y, ((0, 0), (1, 1), (0, 0)))
-    out = (
-        ypad[:, 0:w_log, 0:co]
-        + ypad[:, 1 : 1 + w_log, co : 2 * co]
-        + ypad[:, 2 : 2 + w_log, 2 * co : 3 * co]
     )
-    o_ref[0] = out.reshape(tile_h, w_log * co).astype(o_ref.dtype)
+    # column taps: out[co, r, j] = sum_b y[(b,co), r, j+b-1] — rolls on the
+    # merged (r, j) lane axis (f32, Mosaic rotate needs 32-bit) + masks.
+    # The col mask (j = merged index mod Wp) both zeroes the SAME edges and
+    # kills cross-row wraps; columns >= w_log are Wp padding, host-sliced.
+    col = jax.lax.rem(
+        jax.lax.broadcasted_iota(jnp.int32, (1, tile_h * wp), 1), wp
+    )
+    out = None
+    for b_ in range(3):
+        sh = b_ - 1
+        yb = y[b_ * co : (b_ + 1) * co]
+        n_ = tile_h * wp
+        if sh == 0:
+            # centre tap: col+0 is always in [0, w_log) for the logical
+            # columns and the Wp-pad columns are host-sliced — no mask pass
+            out = yb if out is None else out + yb
+            continue
+        rolled = pltpu.roll(yb, (-sh) % n_, axis=1)
+        mask = ((col + sh >= 0) & (col + sh < w_log)).astype(jnp.float32)
+        out = rolled * mask if out is None else out + rolled * mask
+    o_ref[0] = out.reshape(co, tile_h, wp).astype(o_ref.dtype)
 
 
-def _pick_tile_h(h: int, w: int, ci: int, co: int, itemsize: int,
-                 budget_mb: float = 10.0) -> int:
+def _pick_tile_h(h: int, wp: int, ci: int, co: int, itemsize: int,
+                 budget_mb: float = 13.0) -> int:
     candidates = [th for th in (128, 64, 32, 16, 8) if th <= h] or [h]
     for th in candidates:
         slab = _round_up(th + 2, 16)
         bytes_needed = (
-            2 * slab * w * ci * itemsize          # x scratch, 2 slots
-            + th * w * 3 * ci * itemsize          # xcol
-            + th * w * 3 * co * 4                 # y accumulator (f32)
-            + 2 * th * w * co * itemsize          # out block (double-buffered)
+            2 * ci * slab * wp * itemsize         # x scratch, 2 slots
+            + 3 * ci * th * wp * itemsize         # xcol
+            + 3 * co * th * wp * 4                # y accumulator (f32)
+            + 2 * co * th * wp * 4                # out block (double-buffered)
         )
         if bytes_needed <= budget_mb * 1024 * 1024:
             return th
@@ -123,12 +153,11 @@ def _pick_tile_h(h: int, w: int, ci: int, co: int, itemsize: int,
 def conv3x3_cols_worthwhile(kernel_size, strides, ci: int, co: int,
                             w: int | None = None) -> bool:
     """The kernel applies to stride-1 3x3 convs; it WINS where the native
-    lowering is lane-starved (co < 128). Alignment: the merged (W*C) lane
-    axes must be 128-aligned or the DMA/store would need padding that
-    erases the advantage."""
+    lowering is lane-starved (co < 128). W is lane-padded to 128 in-kernel,
+    so very narrow maps waste lanes — require a reasonable width."""
     if tuple(kernel_size) != (3, 3) or tuple(strides) != (1, 1):
         return False
-    if w is not None and ((w * ci) % 128 or (w * co) % 128):
+    if w is not None and w < 32:
         return False
     return co < 128
 
@@ -147,40 +176,42 @@ def _conv3x3_cols_fwd_impl(x, w, interpret, out_f32=False):
     n, h, wd, ci = x.shape
     co = w.shape[-1]
     assert w.shape[:3] == (3, 3, ci), w.shape
-    assert (wd * ci) % 128 == 0 and (wd * co) % 128 == 0, (
-        f"merged lane axes must be 128-aligned, got W*Ci={wd*ci} W*Co={wd*co}"
-    )
     dtype = x.dtype
     out_dtype = jnp.float32 if out_f32 else dtype
-    # [(a,c), (b,co)] weight layout for the single tap-widened matmul
-    w2 = jnp.transpose(w.astype(dtype), (0, 2, 1, 3)).reshape(3 * ci, 3 * co)
-    tile_h = _pick_tile_h(h, wd, ci, co, jnp.dtype(dtype).itemsize)
+    wp = _round_up(wd, 128)
+    tile_h = _pick_tile_h(h, wp, ci, co, jnp.dtype(dtype).itemsize)
     hpad = _round_up(h, tile_h)
     nt = hpad // tile_h
     slab = _round_up(tile_h + 2, 16)
     # one zero-pad row on top (the a=0 halo), then enough rows that every
-    # slab [i*tile_h, i*tile_h + slab) is in bounds
+    # slab [i*tile_h, i*tile_h + slab) is in bounds; W lane-padded to 128
     rows = (nt - 1) * tile_h + slab
-    x2 = jnp.pad(x.reshape(n, h, wd * ci), ((0, 0), (1, rows - h - 1), (0, 0)))
+    x_cm = jnp.moveaxis(x, -1, 1)  # (N, Ci, H, W)
+    x_cm = jnp.pad(x_cm, ((0, 0), (0, 0), (1, rows - h - 1), (0, wp - wd)))
+    # [(b,co), (a,c)] weight layout for the tap-widened matmul
+    w2 = jnp.transpose(w.astype(dtype), (1, 3, 0, 2)).reshape(3 * co, 3 * ci)
     kernel = functools.partial(
-        _conv_cols_kernel, tile_h=tile_h, slab=slab, w_log=wd, ci=ci, co=co,
+        _conv_cols_kernel, tile_h=tile_h, slab=slab, wp=wp, w_log=wd,
+        ci=ci, co=co,
     )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, hpad, wd * co), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n, co, hpad, wp), out_dtype),
         grid=(n, nt),
         in_specs=[
-            pl.BlockSpec((3 * ci, 3 * co), lambda bb, ii: (0, 0)),
+            pl.BlockSpec((3 * co, 3 * ci), lambda bb, ii: (0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, tile_h, wd * co), lambda bb, ii: (bb, ii, 0)),
+        out_specs=pl.BlockSpec(
+            (1, co, tile_h, wp), lambda bb, ii: (bb, 0, ii, 0)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((2, slab, wd * ci), dtype),
+            pltpu.VMEM((2, ci, slab, wp), dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(w2, x2)
-    return out[:, :h].reshape(n, h, wd, co)
+    )(w2, x_cm)
+    return jnp.moveaxis(out[:, :, :h, :wd], 1, -1)
 
 
 def _conv3x3_cols_vjp_fwd(x, w, interpret, out_f32):
