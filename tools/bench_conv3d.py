@@ -242,6 +242,32 @@ def main(cases):
         "l0_xpack2_grad": lambda: run_xpack_case("l0_xpack2_grad", (d, h, w, 32), (3, 3, 32, 32), P=2, grad=True),
         # C=64 half-res with P=2 (128 lanes, 1.33x inflation)
         "l1_xpack2_grad": lambda: run_xpack_case("l1_xpack2_grad", (d // 2, h // 2, w // 2, 64), (3, 3, 64, 64), P=2, grad=True),
+        # --- space-to-depth (2x2) decision probes (ROADMAP 3D lever) ------
+        # A stride-1 3x3 C32 conv on the full-res grid is EXACTLY four
+        # per-phase (2,2) convs on the packed (H/2, W/2, 4*32=128) grid
+        # (each output phase reads a 2x2 window of packed cells). Total
+        # useful-FLOP inflation 16/9 = 1.78x, but input lanes, contraction
+        # (4*128=512) and (for the merged shape) output lanes are all
+        # tile-exact. These probes time the RAW shapes; useful = raw/1.78.
+        # Decision rule: phase/pack raw > ~52 TF/s beats the measured 29
+        # TF/s C=32 plateau; full3 (one k=3 packed conv with structural
+        # zeros, 4x inflation) needs raw > 116.
+        "s2d_phase_fwd": lambda: run_case("s2d_phase_fwd", (d, h // 2, w // 2, 128), (2, 2, 128, 32)),
+        "s2d_phase_grad": lambda: run_case("s2d_phase_grad", (d, h // 2, w // 2, 128), (2, 2, 128, 32), grad=True),
+        "s2d_pack_fwd": lambda: run_case("s2d_pack_fwd", (d, h // 2, w // 2, 128), (2, 2, 128, 128)),
+        "s2d_pack_grad": lambda: run_case("s2d_pack_grad", (d, h // 2, w // 2, 128), (2, 2, 128, 128), grad=True),
+        "s2d_full3_grad": lambda: run_case("s2d_full3_grad", (d, h // 2, w // 2, 128), (3, 3, 128, 128), grad=True),
+        # --- the same question at the SegFlow serving decoder geometry ----
+        # (per scan step, batch 8 at the 128^2 full-res stage; fwd only).
+        # dec_base: today's conv. dec_s2dzero: the merged packed conv (one
+        # k=3 conv on the (64^2, 4C) grid with structural zeros; 4x FLOPs,
+        # exact). dec_s2dphase: one of the four k=2 phase convs (1.78x total,
+        # 4 kernels). Useful rates: zero = raw/4, phase = raw/1.78.
+        "dec_base_fwd": lambda: run_case("dec_base_fwd", (8, 128, 128, 64), (3, 3, 64, 32)),
+        "dec_base2_fwd": lambda: run_case("dec_base2_fwd", (8, 128, 128, 32), (3, 3, 32, 32)),
+        "dec_s2dzero_fwd": lambda: run_case("dec_s2dzero_fwd", (8, 64, 64, 256), (3, 3, 256, 128)),
+        "dec_s2dzero2_fwd": lambda: run_case("dec_s2dzero2_fwd", (8, 64, 64, 128), (3, 3, 128, 128)),
+        "dec_s2dphase_fwd": lambda: run_case("dec_s2dphase_fwd", (8, 64, 64, 256), (2, 2, 256, 32)),
     }
     for k in (cases or all_cases):
         all_cases[k]()
