@@ -53,12 +53,19 @@ class InstanceNorm(nn.Module):
             # reductions keeps every materialized tensor bf16; the affine is
             # folded to a single fused multiply-add in bf16 (same final
             # precision — the old path rounded its f32 result to bf16 too).
-            mean = jnp.mean(x, axis=axes, keepdims=True, dtype=jnp.float32)
-            m2 = jnp.mean(jnp.square(x), axis=axes, keepdims=True, dtype=jnp.float32)
+            # Flat (N, C) stats + affine coeffs (no keepdims/tile chains):
+            # the per-norm tiny-kernel count is the serving bottleneck on
+            # this backend (~50-90 us per dispatched kernel, docs round 4).
+            # NB measured: a variadic lax.reduce over (xf, xf*xf) does NOT
+            # fuse its f32 converts on this backend (1572 -> 1347 f/s);
+            # two jnp.mean(dtype=f32) reduces keep the fast lowering.
+            mean = jnp.mean(x, axis=axes, dtype=jnp.float32)  # (N, C)
+            m2 = jnp.mean(jnp.square(x), axis=axes, dtype=jnp.float32)
             inv = jax.lax.rsqrt(jnp.maximum(m2 - mean * mean, 0.0) + self.eps)
-            a = (scale * inv).astype(x.dtype)
-            b = (bias - mean * inv * scale).astype(x.dtype)
-            return x * a + b
+            a = scale * inv  # (N, C) f32, tiny
+            b = bias - mean * a
+            bshape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            return x * a.astype(x.dtype).reshape(bshape) + b.astype(x.dtype).reshape(bshape)
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
@@ -84,19 +91,30 @@ class GroupNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if x.dtype == jnp.bfloat16:
             # bf16 fast path: f32 accumulation without f32 materialization
-            # (same rationale + measurements as InstanceNorm above)
-            xg = x.reshape(x.shape[0], *spatial, g, c // g)
-            axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
-            mean = jnp.mean(xg, axis=axes, keepdims=True, dtype=jnp.float32)
-            m2 = jnp.mean(jnp.square(xg), axis=axes, keepdims=True, dtype=jnp.float32)
+            # (same rationale + measurements as InstanceNorm above). Affine
+            # coeffs computed flat at (N, g, c/g) — the old keepdims +
+            # jnp.tile chain emitted ~8 tiny copies/reduces per norm, the
+            # dominant kernel count of the SegFlow serving step (768 copies
+            # + 384 reduces of 256-byte stat tensors in the optimized HLO;
+            # docs/BENCHMARKS.md round 4).
+            cpg = c // g
+            # reduce over SPATIAL axes only, keeping C on the lane axis —
+            # reshaping the full tensor to (..., g, c/g) first puts c/g(=4)
+            # on lanes, which forces a layout-changing copy of the whole
+            # activation + a lane-4 VPU reduce (measured 1572 -> 906 f/s on
+            # the serving bench). The group combine then runs on the TINY
+            # (N, C) sums instead.
+            sp_axes = tuple(range(1, x.ndim - 1))
+            s1c = jnp.mean(x, axis=sp_axes, dtype=jnp.float32)  # (N, C)
+            s2c = jnp.mean(jnp.square(x), axis=sp_axes, dtype=jnp.float32)
+            mean = jnp.mean(s1c.reshape(x.shape[0], g, cpg), axis=-1)  # (N, g)
+            m2 = jnp.mean(s2c.reshape(x.shape[0], g, cpg), axis=-1)
             inv = jax.lax.rsqrt(jnp.maximum(m2 - mean * mean, 0.0) + self.eps)
-            # broadcast group stats to per-channel (N, 1..., C) affine
-            reps = (1,) * (mean.ndim - 1) + (c // g,)
-            mean_c = jnp.tile(mean, reps).reshape(x.shape[0], *(1,) * len(spatial), c)
-            inv_c = jnp.tile(inv, reps).reshape(x.shape[0], *(1,) * len(spatial), c)
-            a = (scale * inv_c).astype(x.dtype)
-            b = (bias - mean_c * inv_c * scale).astype(x.dtype)
-            return x * a + b
+            # per-channel affine: scale/bias (g, c/g) x per-group stats
+            a = scale.reshape(g, cpg) * inv[:, :, None]  # (N, g, c/g) f32
+            b = bias.reshape(g, cpg) - mean[:, :, None] * a
+            bshape = (x.shape[0],) + (1,) * len(spatial) + (c,)
+            return x * a.astype(x.dtype).reshape(bshape) + b.astype(x.dtype).reshape(bshape)
         xg = x.astype(jnp.float32).reshape(x.shape[0], *spatial, g, c // g)
         axes = tuple(range(1, xg.ndim - 2)) + (xg.ndim - 1,)
         mean = jnp.mean(xg, axis=axes, keepdims=True)

@@ -245,7 +245,7 @@ class SegFlowStep(nn.Module):
     num_classes: int
 
     @nn.compact
-    def __call__(self, carry, inputs):
+    def __call__(self, carry, inputs, prime: bool = False):
         import os
 
         # trace-time perf-diagnostic ablations (tools/bench_explore.py
@@ -263,14 +263,42 @@ class SegFlowStep(nn.Module):
         # the measured cause of the b=8 training OOM (docs/BENCHMARKS.md)
         hidden, cum_flow, prev_bottleneck, x0, prev_frame = carry
 
-        if "warp" in ablate:
+        # `prime=True` is the frame-0 specialization used by the Python-loop
+        # temporal path (SegFlow below): frame 0's flow step is IDENTITY by
+        # construction (the reference only predicts flow for transitions
+        # 1..T-1, ref: SegFlowGaussian.py:1330-1445; our scan gates frame-0
+        # flow to zero), so the flow decoder's output — and the level-0/1
+        # correlations + skip fuses that ONLY feed it — are dead work. The
+        # prime step computes exactly what frame 0 contributes to the carry
+        # (memory encoding, bottleneck-level corr+fuse, attention, GRU) and
+        # emits the identity outputs directly. Exact: warp(frame, 0) is the
+        # two-hot selector with weights {1, 0} == frame bit-for-bit, so
+        # error == 0 and every skipped term is algebraically zero or unused.
+        # Param values are unchanged too — flax derives init RNGs from
+        # module PATHS, and every path this branch skips is created by the
+        # later full steps of the same shared module.
+        if prime:
             registered = frame
+            error = jnp.zeros_like(frame)
+            flow_cl = jnp.zeros((*frame.shape[:2], 2), jnp.float32)
+            memory_in = jnp.concatenate(
+                [x0, prev_frame, flow_cl.astype(frame.dtype), error, registered],
+                axis=-1,
+            )
+        elif "warp" in ablate:
+            registered = frame
+            error = registered - x0
+            memory_in = jnp.concatenate(
+                [x0, prev_frame, jnp.moveaxis(cum_flow, 0, -1), error, registered],
+                axis=-1,
+            )
         else:
             registered = warp_image_cm(frame, cum_flow, padding="border")
-        error = registered - x0
-        memory_in = jnp.concatenate(
-            [x0, prev_frame, jnp.moveaxis(cum_flow, 0, -1), error, registered], axis=-1
-        )  # 6 channels (ref: SegFlowGaussian.py:1343)
+            error = registered - x0
+            memory_in = jnp.concatenate(
+                [x0, prev_frame, jnp.moveaxis(cum_flow, 0, -1), error, registered],
+                axis=-1,
+            )  # 6 channels (ref: SegFlowGaussian.py:1343)
 
         if "menc" in ablate:
             m_skips = list(q_skips)
@@ -287,7 +315,14 @@ class SegFlowStep(nn.Module):
         # glue); concat/project/mean1 need channels-last for their concat
         out_cm = cfg.corr_fuse == "split"
         fused = []
+        n_levels = len(q_skips)
         for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
+            if prime and lvl < n_levels - 1:
+                # frame-0 specialization: fused[0..n-2] feed only the (dead)
+                # flow decoder; keep placeholders so fused[-1] stays the
+                # bottleneck input
+                fused.append(None)
+                continue
             corr = None
             if cfg.use_cost_volume:
                 # raw (bf16) activations: both impls accumulate the channel
@@ -372,6 +407,19 @@ class SegFlowStep(nn.Module):
             dec_in = hidden
         else:
             dec_in = bottleneck
+
+        if prime:
+            # identity flow step: decoder output is gated to zero anyway
+            new_carry = (hidden, cum_flow, cur, x0, frame)
+            zflow = jnp.zeros((2, *frame.shape[:2]), jnp.float32)
+            out = {
+                "flow": zflow,
+                "cum_flow": cum_flow,
+                "registered": frame[..., 0],
+            }
+            if cfg.deep_supervision:
+                out["flow_ds"] = (zflow,) * max(len(cfg.out_encoder_dims) - 2, 0)
+            return new_carry, out
 
         if "flowdec" in ablate:
             flow_out = jnp.mean(dec_in) * jnp.ones((*frame.shape[:2], 2), jnp.float32)
@@ -498,18 +546,36 @@ class SegFlow(nn.Module):
             step = step_cls(cfg=cfg, num_classes=self.num_classes, name=name)
             carry, per_t = carry0, []
             for i in range(t):
-                carry, o = step(
-                    carry,
-                    (video[i], tuple(s[i] for s in q_skips_t),
-                     tuple(s[i] for s in q_skips_cm_t),
-                     None if q_pre_t is None else tuple(s[i] for s in q_pre_t),
-                     jnp.int32(i), distance[i]),
+                # frame 0 is an identity flow step: run the carry-priming
+                # specialization (no flow decoder, no level-0/1 corr+fuse —
+                # all dead work; see SegFlowStep prime docstring). Kept off
+                # under remat (nn.remat would need the bool declared static).
+                inputs_i = (
+                    video[i], tuple(s[i] for s in q_skips_t),
+                    tuple(s[i] for s in q_skips_cm_t),
+                    None if q_pre_t is None else tuple(s[i] for s in q_pre_t),
+                    jnp.int32(i), distance[i],
                 )
+                if i == 0 and not cfg.remat:
+                    carry, o = step(carry, inputs_i, prime=True)
+                else:
+                    # never pass the flag through nn.remat — jax.checkpoint
+                    # would trace the Python bool (TracerBoolConversionError)
+                    carry, o = step(carry, inputs_i)
                 per_t.append(o)
             outs = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs, axis=0), *per_t
             )
         else:
+            # NOTE measured round 4: hoisting the frame-0 prime step OUT of
+            # nn.scan (function-form scan over frames 1..T-1 sharing the
+            # step module with an outside prime call) is a NET LOSS on the
+            # axon backend — 1514 vs 1572 f/s at the serving config despite
+            # strictly less work. The while-op program form is consistently
+            # faster than equivalent straight-line code here (same reason
+            # the plain Python loop measured 1361/1482 vs 1484/1572); the
+            # prime specialization therefore lives only on the Python-loop
+            # path above.
             scan = nn.scan(
                 step_cls,
                 variable_broadcast="params",

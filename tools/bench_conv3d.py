@@ -252,6 +252,13 @@ def main(cases):
         # Decision rule: phase/pack raw > ~52 TF/s beats the measured 29
         # TF/s C=32 plateau; full3 (one k=3 packed conv with structural
         # zeros, 4x inflation) needs raw > 116.
+        # via-2D inner-conv rates at the deeper levels (what the model
+        # actually runs): is the 29 TF/s plateau C=32-specific or global?
+        "l1_z2d_c64_grad": lambda: run_case("l1_z2d_c64_grad", (d, h // 2, w // 2, 64), (3, 3, 64, 64), grad=True),
+        "l2_z2d_c128_grad": lambda: run_case("l2_z2d_c128_grad", (d // 2, h // 4, w // 4, 128), (3, 3, 128, 128), grad=True),
+        "l3_z2d_c256_grad": lambda: run_case("l3_z2d_c256_grad", (d // 4, h // 8, w // 8, 256), (3, 3, 256, 256), grad=True),
+        # s2d-packed level-1 (C64 -> 256 packed)
+        "s2d_l1_full3_grad": lambda: run_case("s2d_l1_full3_grad", (d, h // 4, w // 4, 256), (3, 3, 256, 256), grad=True),
         "s2d_phase_fwd": lambda: run_case("s2d_phase_fwd", (d, h // 2, w // 2, 128), (2, 2, 128, 32)),
         "s2d_phase_grad": lambda: run_case("s2d_phase_grad", (d, h // 2, w // 2, 128), (2, 2, 128, 32), grad=True),
         "s2d_pack_fwd": lambda: run_case("s2d_pack_fwd", (d, h // 2, w // 2, 128), (2, 2, 128, 128)),
