@@ -83,7 +83,15 @@ class SegFlowModelConfig:
     #   project — corr is 1x1-projected to the skip width first, then
     #             fused; factorizes the corr part of the conv (low-rank),
     #             trading a little capacity for a much smaller fuse conv
-    corr_fuse: Literal["concat", "split", "project", "mean1"] = "concat"
+    #   concat_cm — EXACT same math as concat, but the concat happens in
+    #             CHANNEL-MAJOR: the hoisted q_cm skips, one per-level m
+    #             transpose (shared with the corr kernel via m_cm=True) and
+    #             the kernel's native channel-major corr feed an NCHW fuse
+    #             conv — no corr output transpose, no in-kernel m
+    #             transpose, and the (C_q+C_m+81)-channel buffer is not
+    #             lane-padded (145 leading vs 256 padded lanes). Params
+    #             are path/shape-identical to concat.
+    corr_fuse: Literal["concat", "split", "project", "mean1", "concat_cm"] = "concat"
     # split-mode only: precompute the query-side fuse conv conv_q(q) ONCE,
     # T-batched, outside the temporal recurrence (it depends only on the
     # hoisted query skips, never on the carry) instead of as `levels` serial

@@ -145,6 +145,7 @@ class _NCHWConv(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self, x_cm):
@@ -153,10 +154,33 @@ class _NCHWConv(nn.Module):
             "kernel", nn.initializers.he_normal(), (3, 3, ci, self.features),
             jnp.float32,
         )
-        return jax.lax.conv_general_dilated(
+        y = jax.lax.conv_general_dilated(
             x_cm.astype(self.dtype), w.astype(self.dtype), (1, 1), "SAME",
             dimension_numbers=("NCHW", "HWIO", "NHWC"),
         )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b.astype(y.dtype)
+        return y
+
+
+class _NCHWConvNormAct(nn.Module):
+    """ConvNormAct consuming a CHANNEL-MAJOR input (param paths identical:
+    Conv_0 kernel/bias + the same auto-named norm, so checkpoints transfer
+    between this and the channels-last ConvNormAct)."""
+
+    features: int
+    norm: str = "group"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_cm):
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = _NCHWConv(self.features, dtype=self.dtype, use_bias=True, name="Conv_0")(x_cm)
+        x = checkpoint_name(x, "conv_out")
+        x = make_norm(self.norm)(x)
+        return leaky_relu(x)
 
 
 class SkipFuse(nn.Module):
@@ -185,7 +209,23 @@ class SkipFuse(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, q, m, corr, corr_cm: bool = False, q_pre=None):
+    def __call__(self, q, m, corr, corr_cm: bool = False, q_pre=None,
+                 q_cmi=None, m_cmi=None):
+        if self.mode == "concat_cm":
+            # channel-major concat -> NCHW ConvNormAct. Exact same math and
+            # param paths as concat (ConvNormAct_0/Conv_0 + norm), but the
+            # concat consumes the caller's existing channel-major tensors:
+            # the hoisted q_cm skips, the per-level m transpose that the
+            # corr kernel needs anyway (shared via m_cm=True), and the
+            # kernel's native channel-major corr — so the per-step corr
+            # output transpose and the in-kernel m transpose disappear, and
+            # the odd-width concat (145/209/337 ch) rides the UNTILED
+            # leading axis instead of lane-padding to the next 128 multiple.
+            parts = [q_cmi, m_cmi] + ([] if corr is None else [corr])
+            return _NCHWConvNormAct(
+                self.features, norm=self.norm, dtype=self.dtype,
+                name="ConvNormAct_0",
+            )(jnp.concatenate(parts, axis=1))
         if corr_cm and self.mode != "split":
             corr = jnp.moveaxis(corr, 1, -1)
             corr_cm = False
@@ -313,7 +353,7 @@ class SegFlowStep(nn.Module):
         # split mode keeps the corr in the kernel's native CHANNEL-MAJOR
         # layout all the way into an NCHW fuse conv (no output transpose
         # glue); concat/project/mean1 need channels-last for their concat
-        out_cm = cfg.corr_fuse == "split"
+        out_cm = cfg.corr_fuse in ("split", "concat_cm")
         fused = []
         n_levels = len(q_skips)
         for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
@@ -323,6 +363,12 @@ class SegFlowStep(nn.Module):
                 # bottleneck input
                 fused.append(None)
                 continue
+            # concat_cm: ONE per-level m transpose, shared between the corr
+            # kernel (m_cm=True skips its internal transpose) and the
+            # channel-major fuse concat
+            m_cm_l = (
+                jnp.moveaxis(m, -1, 0) if cfg.corr_fuse == "concat_cm" else None
+            )
             corr = None
             if cfg.use_cost_volume:
                 # raw (bf16) activations: both impls accumulate the channel
@@ -332,11 +378,12 @@ class SegFlowStep(nn.Module):
                 # outside the loop): ~80% of the pallas call's cost was the
                 # per-step layout glue around the kernel (docs/BENCHMARKS.md)
                 corr = local_correlation_volume(
-                    q_skips_cm[lvl], m,
+                    q_skips_cm[lvl], m if m_cm_l is None else m_cm_l,
                     radius=cfg.corr_radius[lvl],
                     stride=cfg.corr_stride[lvl],
                     q_cm=True,
                     out_cm=out_cm,
+                    m_cm=m_cm_l is not None,
                 ).astype(dtype)
             fused.append(
                 SkipFuse(q.shape[-1], mode=cfg.corr_fuse, norm=cfg.norm, dtype=dtype,
@@ -344,7 +391,11 @@ class SegFlowStep(nn.Module):
                                                   None if corr is None else corr[None],
                                                   corr_cm=out_cm,
                                                   q_pre=None if q_pre is None
-                                                  else q_pre[lvl][None])[0]
+                                                  else q_pre[lvl][None],
+                                                  q_cmi=None if m_cm_l is None
+                                                  else q_skips_cm[lvl][None],
+                                                  m_cmi=None if m_cm_l is None
+                                                  else m_cm_l[None])[0]
             )
             if cfg.use_cost_volume:
                 # similarity-map observability: best local correlation per

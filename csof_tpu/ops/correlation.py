@@ -154,6 +154,7 @@ def lookup_correlation_gather(
 def local_correlation_volume(
     query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
     impl: str = "auto", q_cm: bool = False, out_cm: bool = False,
+    m_cm: bool = False,
 ) -> jnp.ndarray:
     """Local correlation between two (H, W, C) feature maps.
 
@@ -191,11 +192,13 @@ def local_correlation_volume(
         from csof_tpu.ops.pallas.corr import local_correlation_volume_pallas
 
         return local_correlation_volume_pallas(
-            query, memory, radius, stride, q_cm=q_cm, out_cm=out_cm
+            query, memory, radius, stride, q_cm=q_cm, out_cm=out_cm, m_cm=m_cm
         )
     if q_cm:
         # only the pallas path consumes/produces channel-major natively
         query = jnp.moveaxis(query, 0, -1)
+    if m_cm:
+        memory = jnp.moveaxis(memory, 0, -1)
     if impl == "einsum":
         out = _local_corr_einsum(query, memory, radius, stride)
         return jnp.moveaxis(out, -1, 0) if out_cm else out

@@ -137,6 +137,7 @@ def local_correlation_volume_pallas_batched(
     budget_mb: float = 10.0,
     query_cm: bool = False,
     out_cm: bool = False,
+    memory_cm: bool = False,
 ) -> jnp.ndarray:
     """query/memory: (B, H, W, C) -> (B, H, W, (2r+1)^2), in the INPUT dtype.
     out_cm=True returns (B, (2r+1)^2, H, W) — the kernel's native layout,
@@ -166,8 +167,10 @@ def local_correlation_volume_pallas_batched(
     memory = memory.astype(dtype)
     # channel-major: the lane dimension is the aligned W axis; K^2=81 on the
     # minor axis makes Mosaic blow up (81 is not lane-aligned), so the window
-    # index is an untiled leading dim
-    m_cm = jnp.moveaxis(memory, -1, 1)
+    # index is an untiled leading dim. memory_cm=True: the caller already
+    # holds (B, C, H, W) memory (SkipFuse concat_cm shares one transpose
+    # between the kernel and the channel-major fuse concat).
+    m_cm = memory if memory_cm else jnp.moveaxis(memory, -1, 1)
     # lane axis padded to the 128 tile: Mosaic rejects DMA slices whose lane
     # extent is not 128-aligned (a 32-wide level-2 map is stored lane-padded
     # anyway; the roll+mask shift logic stays correct because the mask uses
@@ -523,7 +526,7 @@ def _corr_bwd_pallas(query, memory, g, radius, stride, interpret,
 
 @functools.lru_cache(maxsize=None)
 def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
-                  out_cm: bool = False):
+                  out_cm: bool = False, m_cm: bool = False):
     """custom_vmap traces every positional argument, so the static kernel
     parameters are closed over here (one cached wrapper per config).
 
@@ -539,7 +542,7 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
     def batched(query, memory):
         return local_correlation_volume_pallas_batched(
             query, memory, radius, stride, interpret, query_cm=q_cm,
-            out_cm=out_cm,
+            out_cm=out_cm, memory_cm=m_cm,
         )
 
     def _fwd(query, memory):
@@ -571,12 +574,21 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
             # therefore dq) is channel-major when the caller hoisted the
             # transpose — convert in, convert the gradient back out
             query = jnp.moveaxis(query, 1, -1)
+        if m_cm:
+            # same for a channel-major memory (SkipFuse concat_cm)
+            memory = jnp.moveaxis(memory, 1, -1)
         if impl == "pallas":
             dq, dm = _corr_bwd_pallas_v2(query, memory, g, radius, stride, interpret)
-            return (jnp.moveaxis(dq, -1, 1) if q_cm else dq), dm
+            return (
+                jnp.moveaxis(dq, -1, 1) if q_cm else dq,
+                jnp.moveaxis(dm, -1, 1) if m_cm else dm,
+            )
         if impl == "pallas_v1":
             dq, dm = _corr_bwd_pallas(query, memory, g, radius, stride, interpret)
-            return (jnp.moveaxis(dq, -1, 1) if q_cm else dq), dm
+            return (
+                jnp.moveaxis(dq, -1, 1) if q_cm else dq,
+                jnp.moveaxis(dm, -1, 1) if m_cm else dm,
+            )
         b, h, w, c = query.shape
         pad = radius * stride
         scale = 1.0 / math.sqrt(c)
@@ -596,9 +608,12 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
                 dq = dq + gk * shifted
                 dm_pad = dm_pad.at[:, oy : oy + h, ox : ox + w, :].add(gk * qf)
                 i += 1
-        dm = dm_pad[:, pad : pad + h, pad : pad + w, :]
+        dm = dm_pad[:, pad : pad + h, pad : pad + w, :].astype(memory.dtype)
         dq = dq.astype(query.dtype)
-        return (jnp.moveaxis(dq, -1, 1) if q_cm else dq), dm.astype(memory.dtype)
+        return (
+            jnp.moveaxis(dq, -1, 1) if q_cm else dq,
+            jnp.moveaxis(dm, -1, 1) if m_cm else dm,
+        )
 
     batched.defvjp(_fwd, _bwd)
 
@@ -621,11 +636,13 @@ def _make_corr_fn(radius: int, stride: int, interpret: bool, q_cm: bool = False,
 def local_correlation_volume_pallas(
     query: jnp.ndarray, memory: jnp.ndarray, radius: int = 4, stride: int = 1,
     interpret: bool = False, q_cm: bool = False, out_cm: bool = False,
+    m_cm: bool = False,
 ) -> jnp.ndarray:
     """query/memory: (H, W, C) -> (H, W, (2r+1)^2). Under jax.vmap this
     dispatches to the batch-gridded kernel instead of letting vmap
     auto-batch the pallas_call. q_cm=True: query is (C, H, W); out_cm=True
-    returns ((2r+1)^2, H, W)."""
+    returns ((2r+1)^2, H, W); m_cm=True: memory is (C, H, W)."""
     return _make_corr_fn(
-        int(radius), int(stride), bool(interpret), bool(q_cm), bool(out_cm)
+        int(radius), int(stride), bool(interpret), bool(q_cm), bool(out_cm),
+        bool(m_cm),
     )(query, memory)

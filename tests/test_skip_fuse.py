@@ -201,3 +201,38 @@ def test_segflow_split_grads_finite():
     )(params)
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
     assert np.isfinite(total) and total > 0
+
+
+def test_concat_cm_exactly_matches_concat():
+    """corr_fuse='concat_cm' (channel-major concat -> NCHW fuse conv,
+    sharing one m transpose between the corr kernel and the concat) is
+    EXACTLY the same math and the SAME param tree as concat. Checked at the
+    full SegFlow level across both temporal paths."""
+    video = jnp.asarray(np.random.RandomState(5).rand(3, 16, 16, 1).astype(np.float32))
+    base = dict(
+        out_encoder_dims=(4, 8, 16), d_model=16, bottleneck_heads=2,
+        dim_feedforward=32, corr_radius=(1, 1, 1), corr_stride=(1, 1, 1),
+        dtype="float32",
+    )
+    for unroll in (1, 99):  # rolled scan / plain Python loop
+        cfg = SegFlowModelConfig(**base, scan_unroll=unroll, corr_fuse="concat")
+        model = SegFlow(cfg=cfg, num_classes=4)
+        params = model.init(jax.random.PRNGKey(0), video)
+        out = model.apply(params, video)
+
+        cfg_cm = SegFlowModelConfig(**base, scan_unroll=unroll, corr_fuse="concat_cm")
+        model_cm = SegFlow(cfg=cfg_cm, num_classes=4)
+        # identical param tree: checkpoints transfer between the modes
+        ref_tree = jax.tree_util.tree_structure(
+            model_cm.init(jax.random.PRNGKey(1), video)
+        )
+        assert jax.tree_util.tree_structure(params) == ref_tree
+        out_cm_ = model_cm.apply(params, video)
+        np.testing.assert_allclose(
+            np.asarray(out["seg_logits"]), np.asarray(out_cm_["seg_logits"]),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["cum_flow"]), np.asarray(out_cm_["cum_flow"]),
+            atol=2e-5, rtol=1e-5,
+        )

@@ -133,6 +133,15 @@ SWEEPS = {
           "attn_fused": True},
          dict(batch=8, draws=3)),
     ],
+    # round-4 serving pick, stage 3: channel-major concat (concat_cm) —
+    # exact same math AND param tree as concat, but the concat consumes the
+    # hoisted q_cm skips + one shared per-level m transpose + the kernel's
+    # native channel-major corr, feeding an NCHW fuse conv: no corr output
+    # transpose and no lane padding of the odd concat width
+    "r4serve3": [
+        ("concat_b8", {"scan_unroll": 12, "corr_fuse": "concat"}, dict(batch=8, draws=3)),
+        ("concat_cm_b8", {"scan_unroll": 12, "corr_fuse": "concat_cm"}, dict(batch=8, draws=3)),
+    ],
     # decoder upsample mode at the serving config: the reference-accurate
     # PatchExpand (matmul ConvTranspose+GN+GELU) vs bilinear resize
     "decups": [
