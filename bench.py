@@ -57,6 +57,10 @@ def _build(videos, t, **kw):
     from csof_tpu.models.segflow import SegFlow
 
     kw.setdefault("scan_unroll", t)  # serving default; fallback may override
+    # channel-major concat fuse: exact same math/params as concat, but the
+    # per-step corr output transpose and the lane padding of the odd concat
+    # width disappear (r4serve3 sweep: 1568.1 vs 1509.6 f/s same-day)
+    kw.setdefault("corr_fuse", "concat_cm")
     cfg = SegFlowModelConfig(**kw)  # flagship (bf16)
     model = SegFlow(cfg=cfg, num_classes=4)
     return model, model.init(jax.random.PRNGKey(0), videos[0])
@@ -150,7 +154,7 @@ def main():
             # output rather than crashing the benchmark.
             fallback = f"{type(e).__name__}: fell back to rolled scan + jnp corr"
             os.environ["CSOF_CORR_IMPL"] = "jnp"
-            model, params = _build(videos, t, scan_unroll=1)
+            model, params = _build(videos, t, scan_unroll=1, corr_fuse="concat")
 
         per_draw_fps = []
         for k in range(draws):

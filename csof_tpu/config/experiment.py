@@ -142,6 +142,16 @@ class SegFlowModelConfig:
     # unroll for whatever T arrives" (the serving sweet spot when T varies
     # per case, e.g. FlowPredictor inference).
     scan_unroll: int = 1
+    # run the WHOLE temporal loop (frame-0 prime specialization + full
+    # steps 1..T-1, Python-unrolled) inside ONE length-1 nn.scan trip: the
+    # while-op program form measured consistently faster than equivalent
+    # straight-line code on this backend (1572 vs 1514/1482 f/s), while the
+    # frame-0 prime eliminates the dead flow-decoder + level-0/1 corr+fuse
+    # work (loop path: 1361 -> 1482). This combines both. Exact same math
+    # and param tree as the other temporal paths (the step module is
+    # name-pinned; function-form scan keeps children at the SegFlow top
+    # level). Ignored under remat (prime is, see segflow.py).
+    scan_while1: bool = False
     dtype: str = "bfloat16"
 
 

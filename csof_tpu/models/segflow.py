@@ -584,23 +584,12 @@ class SegFlow(nn.Module):
         step_cls = nn.remat(SegFlowStep) if cfg.remat else SegFlowStep
         if distance is None:
             distance = jnp.zeros((t,), jnp.float32)
-        if cfg.scan_unroll > t:
-            # fully-unrolled temporal loop: T is small and static (<=~40
-            # cine frames), so a plain Python loop gives XLA a straight-line
-            # program with no while-op layout constraints at all. One shared
-            # step module, explicitly named to match the nn.scan path's
-            # auto-name => the param tree is IDENTICAL (nn.scan broadcasts
-            # params; checkpoints transfer both ways).
-            name = (
-                "ScanCheckpointSegFlowStep_0" if cfg.remat else "ScanSegFlowStep_0"
-            )
-            step = step_cls(cfg=cfg, num_classes=self.num_classes, name=name)
-            carry, per_t = carry0, []
+
+        def run_frames(step, carry):
+            """Python-unrolled loop over all T frames with the frame-0 prime
+            specialization (exact dead-work elimination; see SegFlowStep)."""
+            per_t = []
             for i in range(t):
-                # frame 0 is an identity flow step: run the carry-priming
-                # specialization (no flow decoder, no level-0/1 corr+fuse —
-                # all dead work; see SegFlowStep prime docstring). Kept off
-                # under remat (nn.remat would need the bool declared static).
                 inputs_i = (
                     video[i], tuple(s[i] for s in q_skips_t),
                     tuple(s[i] for s in q_skips_cm_t),
@@ -608,15 +597,47 @@ class SegFlow(nn.Module):
                     jnp.int32(i), distance[i],
                 )
                 if i == 0 and not cfg.remat:
-                    carry, o = step(carry, inputs_i, prime=True)
-                else:
                     # never pass the flag through nn.remat — jax.checkpoint
                     # would trace the Python bool (TracerBoolConversionError)
+                    carry, o = step(carry, inputs_i, prime=True)
+                else:
                     carry, o = step(carry, inputs_i)
                 per_t.append(o)
-            outs = jax.tree_util.tree_map(
+            return carry, jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs, axis=0), *per_t
             )
+
+        name = "ScanCheckpointSegFlowStep_0" if cfg.remat else "ScanSegFlowStep_0"
+        if cfg.scan_while1 and not cfg.remat:
+            # the full unrolled loop (prime + T-1 full steps) as the body of
+            # ONE length-1 nn.scan trip: combines the while-op program form
+            # (measured faster than equivalent straight-line code on this
+            # backend: 1572 vs 1514/1482 f/s) with the frame-0 prime's dead
+            # work elimination (loop path: 1361 -> 1482 f/s). Function-form
+            # scan over the name-pinned step instance keeps the param tree
+            # IDENTICAL to the other temporal paths.
+            step = step_cls(cfg=cfg, num_classes=self.num_classes, name=name)
+            scanned = nn.scan(
+                lambda stp, carry, _: run_frames(stp, carry),
+                variable_broadcast="params",
+                variable_axes={"intermediates": 0},
+                split_rngs={"params": False},
+                length=1,
+            )
+            _, outs = scanned(step, carry0, None)
+            outs = jax.tree_util.tree_map(lambda x: x[0], outs)
+        elif cfg.scan_unroll > t:
+            # fully-unrolled temporal loop: T is small and static (<=~40
+            # cine frames), so a plain Python loop gives XLA a straight-line
+            # program with no while-op layout constraints at all. One shared
+            # step module, explicitly named to match the nn.scan path's
+            # auto-name => the param tree is IDENTICAL (nn.scan broadcasts
+            # params; checkpoints transfer both ways).
+            # frame 0 runs the carry-priming specialization (no flow
+            # decoder, no level-0/1 corr+fuse — all dead work; see
+            # SegFlowStep prime docstring). Kept off under remat.
+            step = step_cls(cfg=cfg, num_classes=self.num_classes, name=name)
+            _, outs = run_frames(step, carry0)
         else:
             # NOTE measured round 4: hoisting the frame-0 prime step OUT of
             # nn.scan (function-form scan over frames 1..T-1 sharing the

@@ -17,7 +17,7 @@ from csof_tpu.config.experiment import SegFlowModelConfig
 from csof_tpu.models.segflow import SegFlow
 
 
-def _cfg(unroll, remat=False):
+def _cfg(unroll, remat=False, **kw):
     return SegFlowModelConfig(
         out_encoder_dims=(4, 8, 16),
         d_model=16,
@@ -29,6 +29,7 @@ def _cfg(unroll, remat=False):
         deep_supervision=False,
         scan_unroll=unroll,
         remat=remat,
+        **kw,
     )
 
 
@@ -46,6 +47,25 @@ def test_unrolled_matches_scan(remat):
     assert set(out_scan) == set(out_unroll)
     for k in ("seg_logits", "flow", "cum_flow", "registered"):
         a, b = np.asarray(out_scan[k]), np.asarray(out_unroll[k])
+        assert a.shape == b.shape, k
+        np.testing.assert_allclose(a, b, atol=5e-6, rtol=1e-5, err_msg=k)
+
+
+def test_while1_matches_scan():
+    """scan_while1 (the full prime+unrolled loop inside ONE length-1
+    nn.scan trip) is exactly the scan path's math with the loop path's
+    frame-0 prime — and the SAME param tree as both."""
+    video = jnp.asarray(np.random.RandomState(2).rand(4, 16, 16, 1).astype(np.float32))
+    scan_model = SegFlow(cfg=_cfg(1), num_classes=3)
+    w1_model = SegFlow(cfg=_cfg(1, scan_while1=True), num_classes=3)
+    params = scan_model.init(jax.random.PRNGKey(0), video)
+    p2 = w1_model.init(jax.random.PRNGKey(0), video)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    out_scan = scan_model.apply(params, video)
+    out_w1 = w1_model.apply(params, video)
+    assert set(out_scan) == set(out_w1)
+    for k in ("seg_logits", "flow", "cum_flow", "registered"):
+        a, b = np.asarray(out_scan[k]), np.asarray(out_w1[k])
         assert a.shape == b.shape, k
         np.testing.assert_allclose(a, b, atol=5e-6, rtol=1e-5, err_msg=k)
 

@@ -142,6 +142,16 @@ SWEEPS = {
         ("concat_b8", {"scan_unroll": 12, "corr_fuse": "concat"}, dict(batch=8, draws=3)),
         ("concat_cm_b8", {"scan_unroll": 12, "corr_fuse": "concat_cm"}, dict(batch=8, draws=3)),
     ],
+    # round-4 serving pick, stage 4: the while1 temporal body (full
+    # prime+unrolled loop inside ONE length-1 scan trip — while-op program
+    # form + frame-0 dead-work elimination) on top of the concat_cm winner
+    "r4serve4": [
+        ("cm_b8", {"scan_unroll": 12, "corr_fuse": "concat_cm"},
+         dict(batch=8, draws=3)),
+        ("cm_while1_b8",
+         {"scan_unroll": 12, "corr_fuse": "concat_cm", "scan_while1": True},
+         dict(batch=8, draws=3)),
+    ],
     # decoder upsample mode at the serving config: the reference-accurate
     # PatchExpand (matmul ConvTranspose+GN+GELU) vs bilinear resize
     "decups": [
