@@ -75,6 +75,10 @@ def main():
     # pallas-in-vmap(scan) Mosaic hang is gone. Override with
     # CSOF_CORR_IMPL=jnp to fall back.
     os.environ.setdefault("CSOF_CORR_IMPL", "pallas")
+    # Share the persistent compile cache with in-round warmup runs: the
+    # serving-config compile is minutes-slow cold, and the ambient env does
+    # not set the cache dir (sitecustomize pins only JAX_PLATFORMS).
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
     import jax
     import jax.numpy as jnp
