@@ -54,13 +54,15 @@ def _build(videos, t, **kw):
     import jax
 
     from csof_tpu.config.experiment import SegFlowModelConfig
+    from csof_tpu.inference.serving import serving_kwargs
     from csof_tpu.models.segflow import SegFlow
 
-    kw.setdefault("scan_unroll", t)  # serving default; fallback may override
-    # channel-major concat fuse: exact same math/params as concat, but the
-    # per-step corr output transpose and the lane padding of the odd concat
-    # width disappear (r4serve3 sweep: 1568.1 vs 1509.6 f/s same-day)
-    kw.setdefault("corr_fuse", "concat_cm")
+    # the measured serving config — shared with the product CLI via
+    # csof_tpu/inference/serving.py (full temporal unroll + channel-major
+    # concat fuse; r4serve3 sweep: concat_cm 1568.1 vs concat 1509.6 f/s
+    # same-day). Fallback kw overrides beat these defaults.
+    for k, v in serving_kwargs(t).items():
+        kw.setdefault(k, v)
     cfg = SegFlowModelConfig(**kw)  # flagship (bf16)
     model = SegFlow(cfg=cfg, num_classes=4)
     return model, model.init(jax.random.PRNGKey(0), videos[0])
@@ -77,8 +79,12 @@ def main():
     os.environ.setdefault("CSOF_CORR_IMPL", "pallas")
     # Share the persistent compile cache with in-round warmup runs: the
     # serving-config compile is minutes-slow cold, and the ambient env does
-    # not set the cache dir (sitecustomize pins only JAX_PLATFORMS).
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+    # not set the cache dir (sitecustomize pins only JAX_PLATFORMS). Derived
+    # from the home dir, not hardcoded (ADVICE r4); an ambient env wins.
+    os.environ.setdefault(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "jax"),
+    )
 
     import jax
     import jax.numpy as jnp

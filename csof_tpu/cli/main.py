@@ -329,22 +329,19 @@ def predict_flow_entry(argv=None):
     }
     trainer = restore_trainer(a.model_dir, example)
     net, params = trainer.model, trainer.state.params
-    # Inference-time serving config: fully unroll the temporal scan body
-    # (measured ~15% over the rolled scan — the while-op boundary pins
-    # layouts; docs/BENCHMARKS.md round 3). Params are identical across
-    # scan_unroll settings (the step module is name-pinned), so the
-    # restored checkpoint applies unchanged. CSOF_INFER_UNROLL=0 opts out
-    # (e.g. to bound compile time on very long cines).
-    if getattr(net, "cfg", None) is not None and os.environ.get(
-        "CSOF_INFER_UNROLL", "1"
-    ) != "0":
-        import dataclasses as _dc
-
+    # Inference-time serving config — the SAME one bench.py measures
+    # (csof_tpu/inference/serving.py is the single source of truth): full
+    # temporal unroll (~15% over the rolled scan, docs/BENCHMARKS.md round
+    # 3) + the channel-major concat fuse (+3.9%, round 4). Both remaps are
+    # param-compatible, so the restored checkpoint applies unchanged.
+    # CSOF_INFER_UNROLL=0 / CSOF_SERVE_FUSE=0 opt out.
+    if getattr(net, "cfg", None) is not None:
+        from csof_tpu.inference.serving import apply_serving_config
         from csof_tpu.models.segflow import SegFlow as _SegFlow
 
         if isinstance(net, _SegFlow):
             net = _SegFlow(
-                cfg=_dc.replace(net.cfg, scan_unroll=-1),
+                cfg=apply_serving_config(net.cfg),
                 num_classes=net.num_classes,
             )
     predictor = FlowPredictor(
