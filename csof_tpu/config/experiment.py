@@ -37,6 +37,12 @@ class OptimConfig:
     poly_exponent: float = 0.9
     eta_min: float = 1e-7
     grad_clip_norm: float = 12.0  # ref: nnUNetTrainerV2.py:273, SegFlowGaussian.py:2226
+    # the V2 recipe's rescue for datasets where momentum 0.99 diverges: if
+    # the online foreground dice is still 0 at this epoch, drop SGD momentum
+    # to `momentum_rescue_value` and reinitialize the network weights
+    # (ref: nnUNetTrainerV2.py:424-434 on_epoch_end). 0 disables.
+    momentum_rescue_epoch: int = 100
+    momentum_rescue_value: float = 0.95
 
 
 @dataclass

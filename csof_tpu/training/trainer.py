@@ -335,7 +335,8 @@ class Trainer:
             n_data = next(d for d in range(min(batch_dim, data_size), 0, -1) if batch_dim % d == 0)
             self.mesh = make_mesh(n_data=n_data, n_model=self.mesh.shape["model"])
         rng = jax.random.PRNGKey(self.config.seed)
-        params = self.model.init(rng, *self._example_input(example_batch))
+        self._init_example = self._example_input(example_batch)
+        params = self.model.init(rng, *self._init_example)
         self.state = TrainState.create(apply_fn=self.model.apply, params=params, tx=self.tx)
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
@@ -588,6 +589,7 @@ class Trainer:
 
             self.history.epoch_times.append(time.time() - t0)
             self.epoch += 1
+            self._maybe_momentum_rescue(log_fn)
 
             # moving-average best tracking + patience: the criterion EMA is
             # advanced every epoch and compared against the best EMA seen,
@@ -639,6 +641,47 @@ class Trainer:
             tb.close()
         self.save_checkpoint(ckpt.FINAL)
         return self.history
+
+    def _maybe_momentum_rescue(self, log_fn=print) -> bool:
+        """The V2 recipe's high-momentum rescue: if the online foreground
+        dice is still 0 at epoch `optim.momentum_rescue_epoch`, drop the SGD
+        momentum to `optim.momentum_rescue_value` and reinitialize the
+        network weights (ref: nnUNetTrainerV2.py:424-434 on_epoch_end). The
+        optimizer is rebuilt (fresh momentum buffers) but the schedule
+        position is preserved — the reference's poly LR keys on the epoch
+        counter, which keeps running; ours keys on state.step."""
+        import dataclasses
+
+        ocfg = self.config.optim
+        if (
+            ocfg.optimizer != "sgd"
+            or ocfg.momentum_rescue_epoch <= 0
+            or self.epoch != ocfg.momentum_rescue_epoch
+            or not self.history.eval_metrics
+            or self.history.eval_metrics[-1] != 0
+        ):
+            return False
+        new_optim = dataclasses.replace(
+            ocfg, sgd_momentum=ocfg.momentum_rescue_value
+        )
+        self.config = dataclasses.replace(self.config, optim=new_optim)
+        total_steps = self.config.max_num_epochs * self.config.num_batches_per_epoch
+        self.tx = build_optimizer(new_optim, total_steps)
+        old_step = self.state.step
+        params = self.model.init(
+            jax.random.PRNGKey(self.config.seed + self.epoch), *self._init_example
+        )
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=self.tx
+        ).replace(step=old_step)
+        self.state = jax.device_put(state, replicated(self.mesh))
+        log_fn(
+            f"at epoch {self.epoch} the mean foreground Dice was 0 — SGD "
+            f"momentum reduced {ocfg.sgd_momentum} -> "
+            f"{ocfg.momentum_rescue_value} and network weights reinitialized "
+            "(ref: nnUNetTrainerV2.py:424-434)"
+        )
+        return True
 
     def find_lr(self, train_iter: Iterator[dict], num_iters: int = 1000,
                 init_value: float = 1e-6, final_value: float = 10.0) -> tuple[float, list, list]:

@@ -167,3 +167,60 @@ def test_voxelmorph_3d_trainer_step(tmp_path):
     loss, aux = tr.run_iteration(next(it))
     assert np.isfinite(loss)
     assert np.isfinite(float(aux["ncc"])) and np.isfinite(float(aux["smooth"]))
+
+
+def test_momentum_rescue_trigger(tmp_path):
+    """The V2 epoch-100 momentum rescue (ref: nnUNetTrainerV2.py:424-434):
+    degenerate online dice at the rescue epoch drops SGD momentum to 0.95,
+    reinitializes the weights, and keeps the schedule position."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        seg_config(),
+        optim=OptimConfig(
+            optimizer="sgd", scheduler="poly", initial_lr=0.05,
+            momentum_rescue_epoch=100,
+        ),
+    )
+    it = seg_batches()
+    tr = Trainer(cfg, tmp_path, num_classes=2, example_batch=next(it))
+    tr.run_iteration(next(it))  # advance a step so step-preservation is visible
+    old_step = int(tr.state.step)
+    old_params = jax.device_get(tr.state.params)
+
+    # not the rescue epoch -> no-op
+    tr.epoch = 99
+    tr.history.eval_metrics.append(0.0)
+    assert not tr._maybe_momentum_rescue(lambda s: None)
+
+    # rescue epoch but dice is fine -> no-op
+    tr.epoch = 100
+    tr.history.eval_metrics.append(0.5)
+    assert not tr._maybe_momentum_rescue(lambda s: None)
+    assert tr.config.optim.sgd_momentum == 0.99
+
+    # rescue epoch + degenerate dice -> momentum drop + weight reinit
+    tr.history.eval_metrics.append(0.0)
+    msgs = []
+    assert tr._maybe_momentum_rescue(msgs.append)
+    assert tr.config.optim.sgd_momentum == 0.95
+    assert int(tr.state.step) == old_step, "LR schedule position preserved"
+    new_params = jax.device_get(tr.state.params)
+    diffs = [
+        float(np.abs(a - b).max())
+        for a, b in zip(
+            jax.tree.leaves(old_params), jax.tree.leaves(new_params)
+        )
+    ]
+    assert max(diffs) > 0, "weights must be reinitialized"
+    assert msgs and "momentum" in msgs[0]
+    # the trainer still steps after the rebuild (new tx retraces cleanly)
+    loss, _ = tr.run_iteration(next(it))
+    assert np.isfinite(loss)
+
+    # adamw / disabled configs never trigger
+    cfg2 = dataclasses.replace(seg_config(), optim=OptimConfig(optimizer="adamw"))
+    tr2 = Trainer(cfg2, tmp_path / "b", num_classes=2, example_batch=next(it))
+    tr2.epoch = 100
+    tr2.history.eval_metrics.append(0.0)
+    assert not tr2._maybe_momentum_rescue(lambda s: None)
