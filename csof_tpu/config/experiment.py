@@ -97,7 +97,14 @@ class SegFlowModelConfig:
     #             transpose, and the (C_q+C_m+81)-channel buffer is not
     #             lane-padded (145 leading vs 256 padded lanes). Params
     #             are path/shape-identical to concat.
-    corr_fuse: Literal["concat", "split", "project", "mean1", "concat_cm"] = "concat"
+    #   fused_cm — the whole corr+concat+conv+norm+act chain as ONE Pallas
+    #             megakernel per level (ops/pallas/skipfuse.py). Same math
+    #             and param tree as concat/concat_cm (up to bf16
+    #             accumulation order); forward-only -> a SERVING remap,
+    #             never a training config.
+    corr_fuse: Literal[
+        "concat", "split", "project", "mean1", "concat_cm", "fused_cm"
+    ] = "concat"
     # split-mode only: precompute the query-side fuse conv conv_q(q) ONCE,
     # T-batched, outside the temporal recurrence (it depends only on the
     # hoisted query skips, never on the carry) instead of as `levels` serial

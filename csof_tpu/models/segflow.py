@@ -183,6 +183,65 @@ class _NCHWConvNormAct(nn.Module):
         return leaky_relu(x)
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only stand-in for _NCHWConv: declares the SAME param
+    paths/shapes/inits ('kernel' he_normal + 'bias' zeros) so the fused
+    Pallas mode's checkpoint tree is identical to concat/concat_cm."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        w = self.param(
+            "kernel", nn.initializers.he_normal(),
+            (3, 3, self.in_features, self.features), jnp.float32,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return w, b
+
+
+class _NormParams(nn.Module):
+    """Parameter-only stand-in for blocks.GroupNorm (scale ones, bias
+    zeros), consumed by the fused kernel's in-kernel GroupNorm."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return s, b
+
+
+class _FusedCNA(nn.Module):
+    """The corr+concat+conv+GroupNorm+LeakyReLU chain as ONE Pallas
+    megakernel (ops/pallas/skipfuse.py). Named 'ConvNormAct_0' by SkipFuse
+    so its Conv_0/GroupNorm_0 params are path-identical to the concat_cm
+    layout (checkpoints transfer; same init values). Forward-only: serving
+    remap, training keeps the unfused modes."""
+
+    features: int
+    radius: int
+    stride: int
+    num_groups: int = 8
+
+    @nn.compact
+    def __call__(self, q_cm, m_cm):
+        import jax as _jax
+
+        from csof_tpu.ops.pallas.skipfuse import fused_skip_fuse
+
+        ci = 2 * q_cm.shape[0] + (2 * self.radius + 1) ** 2
+        w, b = _ConvParams(self.features, ci, name="Conv_0")()
+        s, nb = _NormParams(self.features, name="GroupNorm_0")()
+        return fused_skip_fuse(
+            q_cm, m_cm, w, b, s, nb, radius=self.radius, stride=self.stride,
+            num_groups=self.num_groups,
+            interpret=_jax.default_backend() != "tpu",
+        )
+
+
 class SkipFuse(nn.Module):
     """Fuse (query, memory, correlation) skips into one feature map.
 
@@ -201,16 +260,32 @@ class SkipFuse(nn.Module):
     - mean1: diagnostic — corr collapses to its channel mean (1 ch) so the
       corr tensor is consumed but the fuse conv stays narrow; isolates the
       correlation-kernel cost from the conv-width cost in ablations.
+    - fused_cm: the whole chain (correlation INCLUDED — the caller passes
+      no corr) as one Pallas megakernel; same math and param tree as
+      concat/concat_cm up to bf16 accumulation order. Called UNBATCHED
+      (C, H, W) channel-major; returns (fused, sim) where sim is the
+      per-pixel max correlation for the visualizer sow. Serving-only (no
+      VJP); see ops/pallas/skipfuse.py.
     """
 
     features: int
     mode: str = "concat"
     norm: str = "group"
     dtype: jnp.dtype = jnp.float32
+    radius: int = 4
+    stride: int = 1
 
     @nn.compact
     def __call__(self, q, m, corr, corr_cm: bool = False, q_pre=None,
                  q_cmi=None, m_cmi=None):
+        if self.mode == "fused_cm":
+            # q_cmi/m_cmi are UNBATCHED (C, H, W); corr must be None (the
+            # kernel computes it); q/m are accepted for shape symmetry only
+            assert corr is None, "fused_cm computes the correlation itself"
+            return _FusedCNA(
+                self.features, radius=self.radius, stride=self.stride,
+                name="ConvNormAct_0",
+            )(q_cmi.astype(self.dtype), m_cmi.astype(self.dtype))
         if self.mode == "concat_cm":
             # channel-major concat -> NCHW ConvNormAct. Exact same math and
             # param paths as concat (ConvNormAct_0/Conv_0 + norm), but the
@@ -353,7 +428,10 @@ class SegFlowStep(nn.Module):
         # split mode keeps the corr in the kernel's native CHANNEL-MAJOR
         # layout all the way into an NCHW fuse conv (no output transpose
         # glue); concat/project/mean1 need channels-last for their concat
-        out_cm = cfg.corr_fuse in ("split", "concat_cm")
+        mode = cfg.corr_fuse
+        if mode == "fused_cm" and not cfg.use_cost_volume:
+            mode = "concat_cm"  # nothing to fuse in-kernel; param-compatible
+        out_cm = mode in ("split", "concat_cm")
         fused = []
         n_levels = len(q_skips)
         for lvl, (q, m) in enumerate(zip(q_skips, m_skips)):
@@ -363,11 +441,26 @@ class SegFlowStep(nn.Module):
                 # bottleneck input
                 fused.append(None)
                 continue
+            if mode == "fused_cm":
+                # the whole corr+concat+conv+norm+act chain as ONE Pallas
+                # megakernel per level (ops/pallas/skipfuse.py) — called
+                # UNBATCHED channel-major; the outer model vmap folds into
+                # the kernel's batch grid. Returns the fused features plus
+                # the sim map the sow below would otherwise compute.
+                out_l, sim_l = SkipFuse(
+                    q.shape[-1], mode="fused_cm", norm=cfg.norm, dtype=dtype,
+                    radius=cfg.corr_radius[lvl], stride=cfg.corr_stride[lvl],
+                    name=f"skip_fuse_{lvl}",
+                )(None, None, None, q_cmi=q_skips_cm[lvl],
+                  m_cmi=jnp.moveaxis(m, -1, 0))
+                fused.append(out_l)
+                self.sow("intermediates", f"sim_{lvl}", sim_l)
+                continue
             # concat_cm: ONE per-level m transpose, shared between the corr
             # kernel (m_cm=True skips its internal transpose) and the
             # channel-major fuse concat
             m_cm_l = (
-                jnp.moveaxis(m, -1, 0) if cfg.corr_fuse == "concat_cm" else None
+                jnp.moveaxis(m, -1, 0) if mode == "concat_cm" else None
             )
             corr = None
             if cfg.use_cost_volume:
@@ -386,7 +479,7 @@ class SegFlowStep(nn.Module):
                     m_cm=m_cm_l is not None,
                 ).astype(dtype)
             fused.append(
-                SkipFuse(q.shape[-1], mode=cfg.corr_fuse, norm=cfg.norm, dtype=dtype,
+                SkipFuse(q.shape[-1], mode=mode, norm=cfg.norm, dtype=dtype,
                          name=f"skip_fuse_{lvl}")(q[None], m[None],
                                                   None if corr is None else corr[None],
                                                   corr_cm=out_cm,

@@ -1,0 +1,327 @@
+"""Pallas megakernel: corr + concat + fuse-conv + GroupNorm + LeakyReLU.
+
+One kernel per (SegFlow level, sample) computing the ENTIRE SkipFuse
+`concat_cm` chain (models/segflow.py SkipFuse; ref counterpart: the
+per-scale CorrVolume + fuse conv at ref: nnunet/network_architecture/
+SegFlowGaussian.py:255-269, 1374-1386):
+
+    corr = local_correlation_volume(q, m, radius, stride)      # (2r+1)^2 ch
+    y    = conv3x3(concat([q, m, corr], ch), W) + b            # F ch
+    out  = leaky_relu(group_norm(y))
+
+Motivation (docs/BENCHMARKS.md round 4): the serving step is bound by the
+~75-90 us PER-OP floor of this backend x ~50 ops/step; the corr+fuse chain
+is its largest op cluster (m-transpose, corr kernel, concat, conv,
+affine+act per level x 3 levels). This kernel collapses the cluster to ONE
+op per level and removes every intermediate HBM round trip (corr volume,
+concat buffer).
+
+Design (pinned by the tools/probe_fusemm*.py Mosaic probes, round 5):
+- correlation stays CHANNEL-MAJOR — window index kk on the leading axis,
+  per-kk single-row writes (measured free; lane/sublane ASSEMBLY of a
+  channels-last corr is a measured catastrophe),
+- the conv runs as ONE standard-orientation matmul per row-tile with the
+  TAP-WIDENED output dim N = 9F (in-VMEM tap accumulation afterwards) —
+  lhs-TRANSPOSED dot_general measured ~scalar-speed (0.09 TF/s), so the
+  channel-major operands are bridged with explicit 2D transposes
+  (measured 6.8 us per (88, 16640) f32 — cheap),
+- all spatial handling is FLATTENED-2D (C, rows*W): dy/dx window shifts
+  are lane-offset reads of a zero-haloed buffer with column masks (the
+  value-level lax.dynamic_slice is unsupported in Mosaic; ref reads via
+  pl.ds are used for the tile-dependent offsets),
+- GroupNorm needs whole-sample statistics, so the grid runs
+  (batch, 2 * n_tiles): tiles 0..n-1 compute conv outputs into a
+  persistent VMEM scratch while accumulating f32 channel sums; tiles
+  n..2n-1 apply the affine + LeakyReLU and emit the pipelined output
+  blocks. Math matches models/blocks.py GroupNorm's bf16 fast path
+  (f32 stat accumulation, bf16 affine apply) and leaky slope 0.01.
+
+Forward/serving only: there is NO VJP (training keeps the corr kernel +
+XLA conv path; `corr_fuse=fused_cm` is a param-compatible serving remap of
+`concat`/`concat_cm` — see csof_tpu/inference/serving.py).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_rows_for(w: int, radius: int, stride: int) -> int:
+    """Zero-halo rows around the image so every window/tap read is an
+    in-bounds lane offset: >= stride*radius + 3 (2 X-halo rows + 1 row so
+    the +-stride*radius LANE part of a window offset never underflows the
+    buffer), rounded so the DMA landing offset pad*w is 128-aligned."""
+    p = stride * radius + 3
+    while (p * w) % 128:
+        p += 1
+    return p
+
+
+def _pick_tile(h: int, w: int) -> int:
+    """Row-tile: ~2048 out-lanes per tile, dividing H, multiple of 8/w'ness
+    not required (lane offsets handle it); small levels take the whole H."""
+    th = max(1, min(h, 2048 // w))
+    while h % th:
+        th -= 1
+    return th
+
+
+def _fused_kernel(
+    q_hbm, m_hbm, w_ref, cb_ref, gs_ref, gb_ref,  # inputs
+    o_ref, sim_ref,  # outputs
+    stage, q32, m32, corr, xbuf, ybuf, stats, simbuf, sems,  # scratch
+    *, c, h, w, f, radius, stride, th, n_tiles, pad_rows, kpad, groups,
+    eps, slope,
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    hw = h * w
+    pt = (th + 4) * w  # X-space lanes per tile (rows tile*th-2 .. tile*th+th+2)
+    k = 2 * radius + 1
+    scale = 1.0 / math.sqrt(c)
+    dtype = o_ref.dtype
+    f32 = jnp.float32
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        # zero once: halo rows of q32/m32 stay zero forever (only the
+        # center is rewritten per sample); corr pad rows + xbuf pad lanes
+        # stay zero so the (zero-weight) pad columns never see garbage
+        q32[...] = jnp.zeros_like(q32)
+        m32[...] = jnp.zeros_like(m32)
+        corr[...] = jnp.zeros_like(corr)
+        xbuf[...] = jnp.zeros_like(xbuf)
+
+    @pl.when(i == 0)
+    def _():
+        # load this sample: DMA channel-major (C, H*W) into the staging
+        # buffer, cast-place into the f32 zero-haloed window space
+        stats[...] = jnp.zeros_like(stats)
+        for src, dst in ((q_hbm, q32), (m_hbm, m32)):
+            pltpu.make_async_copy(src.at[b], stage, sems.at[0]).start()
+            pltpu.make_async_copy(src.at[b], stage, sems.at[0]).wait()
+            dst[:, pad_rows * w : pad_rows * w + hw] = stage[...].astype(f32)
+
+    @pl.when(i < n_tiles)
+    def _():
+        tile = i
+        # X local row 0 = image row tile*th - 2  (2 rows of conv/corr halo
+        # below the tile, 2 above; out pixels live at local rows [2, th+2))
+        p0 = (tile * th + pad_rows - 2) * w
+        qv = q32[:, pl.ds(p0, pt)]  # (C, pt) f32, zero outside the image
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, pt), 1) % w
+        sim_run = jnp.full((1, pt), -jnp.inf, f32)
+        for dx in range(-radius, radius + 1):
+            sh = dx * stride
+            mask = ((col + sh >= 0) & (col + sh < w)).astype(f32)
+            for dy in range(-radius, radius + 1):
+                mm = m32[:, pl.ds(p0 + stride * dy * w + sh, pt)]
+                acc = jnp.sum(qv * mm, axis=0, keepdims=True) * (scale * mask)
+                # round through the model dtype exactly as the shipped corr
+                # kernel does (the conv consumes bf16 corr values)
+                acc = acc.astype(dtype).astype(f32)
+                kk = (dy + radius) * k + (dx + radius)
+                corr[kk] = acc[0]
+                sim_run = jnp.maximum(sim_run, acc)
+        # sim map (max corr per out pixel) for the TB visualizer sow
+        simbuf[:, pl.ds(tile * th * w, th * w)] = sim_run[:, 2 * w : 2 * w + th * w]
+
+        # channels-last X via explicit 2D transposes (probe: cheap)
+        xbuf[:, 0:c] = jnp.transpose(qv).astype(dtype)
+        xbuf[:, c : 2 * c] = jnp.transpose(m32[:, pl.ds(p0, pt)]).astype(dtype)
+        xbuf[:, 2 * c : 2 * c + corr.shape[0]] = jnp.transpose(corr[...]).astype(dtype)
+
+        # fuse conv: one tap-widened matmul + 9 shifted adds
+        wide = jnp.dot(xbuf[...], w_ref[...], preferred_element_type=f32)
+        colo = jax.lax.broadcasted_iota(jnp.int32, (th * w, 1), 0) % w
+        y = jnp.zeros((th * w, f), f32)
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                pp = (2 + dy) * w + dx
+                j = ((dy + 1) * 3 + (dx + 1)) * f
+                term = wide[pp : pp + th * w, j : j + f]
+                if dx:
+                    m_ = ((colo + dx >= 0) & (colo + dx < w)).astype(f32)
+                    term = term * m_
+                y = y + term
+        # bf16 rounding point + bias match _NCHWConv (conv -> dtype, + bias)
+        y_dt = y.astype(dtype) + cb_ref[0, :].astype(dtype)
+        ybuf[pl.ds(tile * th * w, th * w), :] = y_dt
+        yf = y_dt.astype(f32)
+        stats[0:1, 0:f] = stats[0:1, 0:f] + jnp.sum(yf, axis=0, keepdims=True)
+        stats[1:2, 0:f] = stats[1:2, 0:f] + jnp.sum(yf * yf, axis=0, keepdims=True)
+
+    @pl.when(i == n_tiles)
+    def _():
+        # GroupNorm affine from the accumulated f32 stats — the exact math
+        # of models/blocks.py GroupNorm's bf16 fast path
+        cpg = f // groups
+        mean_c = stats[0:1, 0:f] / hw  # (1, F)
+        m2_c = stats[1:2, 0:f] / hw
+        mean_g = jnp.mean(mean_c.reshape(groups, cpg), axis=-1, keepdims=True)
+        m2_g = jnp.mean(m2_c.reshape(groups, cpg), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(jnp.maximum(m2_g - mean_g * mean_g, 0.0) + eps)
+        a = gs_ref[0, :].reshape(groups, cpg) * inv
+        bb = gb_ref[0, :].reshape(groups, cpg) - mean_g * a
+        stats[2:3, 0:f] = a.reshape(1, f)
+        stats[3:4, 0:f] = bb.reshape(1, f)
+
+    @pl.when(i >= n_tiles)
+    def _():
+        j = i - n_tiles
+        yt = ybuf[pl.ds(j * th * w, th * w), :]
+        a = stats[2:3, 0:f].astype(dtype)
+        bb = stats[3:4, 0:f].astype(dtype)
+        out = yt * a + bb
+        o_ref[0] = jnp.where(out >= 0, out, jnp.asarray(slope, dtype) * out)
+        sim_ref[0] = simbuf[0, pl.ds(j * th * w, th * w)]
+
+
+def fused_skip_fuse_batched(
+    q_cm: jnp.ndarray,  # (B, C, H, W) channel-major query skips
+    m_cm: jnp.ndarray,  # (B, C, H, W) channel-major memory skips
+    w: jnp.ndarray,  # (3, 3, 2C + (2r+1)^2, F) f32 conv kernel
+    b: jnp.ndarray,  # (F,) conv bias
+    gn_scale: jnp.ndarray,  # (F,) GroupNorm scale
+    gn_bias: jnp.ndarray,  # (F,) GroupNorm bias
+    radius: int = 4,
+    stride: int = 1,
+    num_groups: int = 8,
+    eps: float = 1e-5,
+    negative_slope: float = 0.01,
+    interpret: bool = False,
+):
+    """Returns (out (B, H, W, F) in the input dtype, sim (B, H, W) f32)."""
+    bsz, c, h, wd = q_cm.shape
+    k2 = (2 * radius + 1) ** 2
+    f = w.shape[-1]
+    assert w.shape == (3, 3, 2 * c + k2, f), (w.shape, c, k2, f)
+    dtype = q_cm.dtype
+    groups = min(num_groups, f)
+    while f % groups:
+        groups -= 1
+
+    hw = h * wd
+    th = _pick_tile(h, wd)
+    n_tiles = h // th
+    pad_rows = _pad_rows_for(wd, radius, stride)
+    pall = (h + 2 * pad_rows) * wd
+    pt = (th + 4) * wd
+    k2pad = _round_up(k2, 8)  # corr rows padded to a sublane tile
+    kpad = _round_up(2 * c + k2pad, 128)
+
+    # tap-widened weights: wmat[kc, ((dy)*3 + dx)*F + f] = w[dy, dx, kc', f]
+    # with the corr channel block re-based at 2C..2C+k2 and zero pad rows
+    wt = jnp.moveaxis(w.astype(jnp.float32), 2, 0).reshape(2 * c + k2, 9 * f)
+    wmat = jnp.zeros((kpad, 9 * f), jnp.float32)
+    wmat = wmat.at[0 : 2 * c].set(wt[0 : 2 * c])
+    wmat = wmat.at[2 * c : 2 * c + k2].set(wt[2 * c :])
+    wmat = wmat.astype(dtype)
+
+    kernel = functools.partial(
+        _fused_kernel,
+        c=c, h=h, w=wd, f=f, radius=radius, stride=stride, th=th,
+        n_tiles=n_tiles, pad_rows=pad_rows, kpad=kpad, groups=groups,
+        eps=eps, slope=negative_slope,
+    )
+    out, sim = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, hw, f), dtype),
+            jax.ShapeDtypeStruct((bsz, hw), jnp.float32),
+        ),
+        grid=(bsz, 2 * n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # q (B, C, HW) in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # m (B, C, HW) in HBM
+            pl.BlockSpec((kpad, 9 * f), lambda bb_, ii: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb_, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb_, ii: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, f), lambda bb_, ii: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, th * wd, f),
+                lambda bb_, ii: (bb_, jnp.maximum(ii - n_tiles, 0), 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, th * wd),
+                lambda bb_, ii: (bb_, jnp.maximum(ii - n_tiles, 0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((c, hw), dtype),  # stage (DMA landing)
+            pltpu.VMEM((c, pall), jnp.float32),  # q32
+            pltpu.VMEM((c, pall), jnp.float32),  # m32
+            pltpu.VMEM((k2pad, pt), jnp.float32),  # corr rows (bf16-rounded)
+            pltpu.VMEM((pt, kpad), dtype),  # xbuf (channels-last concat)
+            pltpu.VMEM((hw, f), dtype),  # ybuf (pre-norm conv out)
+            pltpu.VMEM((4, _round_up(f, 128)), jnp.float32),  # stats + affine
+            pltpu.VMEM((1, hw), jnp.float32),  # sim map
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        interpret=interpret,
+    )(
+        q_cm.reshape(bsz, c, hw),
+        m_cm.astype(dtype).reshape(bsz, c, hw),
+        wmat, b.astype(jnp.float32).reshape(1, f),
+        gn_scale.astype(jnp.float32).reshape(1, f),
+        gn_bias.astype(jnp.float32).reshape(1, f),
+    )
+    return out.reshape(bsz, h, wd, f), sim.reshape(bsz, h, wd)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_fn(radius: int, stride: int, num_groups: int, interpret: bool):
+    """custom_vmap wrapper (one cached instance per static config): vmap
+    folds into the kernel's batch grid axis instead of auto-batching the
+    pallas_call (same pattern as ops/pallas/corr.py)."""
+
+    @jax.custom_batching.custom_vmap
+    def fused(q_cm, m_cm, w, b, gs, gb):
+        out, sim = fused_skip_fuse_batched(
+            q_cm[None], m_cm[None], w, b, gs, gb,
+            radius=radius, stride=stride, num_groups=num_groups,
+            interpret=interpret,
+        )
+        return out[0], sim[0]
+
+    @fused.def_vmap
+    def _rule(axis_size, in_batched, q_cm, m_cm, w, b, gs, gb):
+        qb, mb = in_batched[0], in_batched[1]
+        assert not any(in_batched[2:]), "params must be broadcast, not batched"
+        if not qb:
+            q_cm = jnp.broadcast_to(q_cm[None], (axis_size, *q_cm.shape))
+        if not mb:
+            m_cm = jnp.broadcast_to(m_cm[None], (axis_size, *m_cm.shape))
+        out, sim = fused_skip_fuse_batched(
+            q_cm, m_cm, w, b, gs, gb,
+            radius=radius, stride=stride, num_groups=num_groups,
+            interpret=interpret,
+        )
+        return (out, sim), (True, True)
+
+    return fused
+
+
+def fused_skip_fuse(
+    q_cm, m_cm, w, b, gn_scale, gn_bias, radius=4, stride=1, num_groups=8,
+    interpret=False,
+):
+    """Single-sample entry: q_cm/m_cm (C, H, W) -> (out (H, W, F), sim
+    (H, W) f32). Under jax.vmap this dispatches to the batch grid."""
+    return _make_fused_fn(int(radius), int(stride), int(num_groups),
+                          bool(interpret))(q_cm, m_cm, w, b, gn_scale, gn_bias)
