@@ -66,6 +66,22 @@ def time_config(name, cfg_kwargs, batch=4, t=12, hw=128, reps=5, draws=1, ablate
 
 
 SWEEPS = {
+    # round-5 critical path: the corr+fuse Pallas megakernel (fused_cm,
+    # ops/pallas/skipfuse.py) vs the round-4 serving pick (concat_cm),
+    # same-day head-to-head at the serving config
+    "r5fuse": [
+        ("cm_b8", {"scan_unroll": 12, "corr_fuse": "concat_cm"},
+         dict(batch=8, draws=3)),
+        ("fused_b8", {"scan_unroll": 12, "corr_fuse": "fused_cm"},
+         dict(batch=8, draws=3)),
+    ],
+    # megakernel batch scaling (the per-op floor amortizes differently)
+    "r5fuse_batch": [
+        ("fused_b8", {"scan_unroll": 12, "corr_fuse": "fused_cm"},
+         dict(batch=8, draws=2)),
+        ("fused_b16", {"scan_unroll": 12, "corr_fuse": "fused_cm"},
+         dict(batch=16, draws=2)),
+    ],
     "default": [
         ("base_b4", {}, dict(batch=4)),
         ("base_b16", {}, dict(batch=16)),
