@@ -56,17 +56,6 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pad_rows_for(w: int, radius: int, stride: int) -> int:
-    """Zero-halo rows around the image so every window/tap read is an
-    in-bounds lane offset: >= stride*radius + 3 (2 X-halo rows + 1 row so
-    the +-stride*radius LANE part of a window offset never underflows the
-    buffer), rounded so the DMA landing offset pad*w is 128-aligned."""
-    p = stride * radius + 3
-    while (p * w) % 128:
-        p += 1
-    return p
-
-
 def _pick_tile(h: int, w: int) -> int:
     """Row-tile: ~2048 out-lanes per tile, dividing H, multiple of 8/w'ness
     not required (lane offsets handle it); small levels take the whole H."""
@@ -76,12 +65,46 @@ def _pick_tile(h: int, w: int) -> int:
     return th
 
 
+def _layout(h: int, w: int, th: int, radius: int, stride: int):
+    """Solve the zero-halo / alignment layout.
+
+    Mosaic requires DYNAMIC-start lane reads to be provably 128-aligned
+    (the fused_b8 compile failed with "cannot statically prove that index
+    in dimension 1 is a multiple of 128"), so the kernel reads ONE aligned
+    slab per tile — base = tile*(th*w) [provable when th*w % 128 == 0]
+    + a 128-aligned STATIC offset — and every window/tap access is a
+    STATIC slice within that slab value (static unaligned reads are fine,
+    probe round 4). Returns (pad_rows, slab_lo, off_q, slab_span, pall):
+      pad_rows  — zero rows each side of the image in the (C, pall) buffer
+      slab_lo   — static 128-aligned slab start relative to tile*(th*w)
+      off_q     — static offset of the X window (rows tile*th-2 ...) in
+                  the slab
+      slab_span — static slab width covering X + the +-stride*(radius*w
+                  + radius) window reach
+    """
+    smax = stride * (radius * w + radius)
+    pt = (th + 4) * w
+    pad_rows = stride * radius + 3
+    while True:
+        slab_lo = ((pad_rows - 2) * w - smax) // 128 * 128
+        off_q = (pad_rows - 2) * w - slab_lo
+        slab_span = _round_up(off_q + pt + smax, 128)
+        pall = (h + 2 * pad_rows) * w
+        if (
+            slab_lo >= 0
+            and (h - th) * w + slab_lo + slab_span <= pall
+            and (pad_rows * w) % 128 == 0  # aligned DMA landing offset
+        ):
+            return pad_rows, slab_lo, off_q, slab_span, pall
+        pad_rows += 1
+
+
 def _fused_kernel(
     q_hbm, m_hbm, w_ref, cb_ref, gs_ref, gb_ref,  # inputs
     o_ref, sim_ref,  # outputs
     stage, q32, m32, corr, xbuf, ybuf, stats, simbuf, sems,  # scratch
     *, c, h, w, f, radius, stride, th, n_tiles, pad_rows, kpad, groups,
-    eps, slope,
+    eps, slope, slab_lo, off_q, slab_span,
 ):
     b = pl.program_id(0)
     i = pl.program_id(1)
@@ -115,17 +138,22 @@ def _fused_kernel(
     @pl.when(i < n_tiles)
     def _():
         tile = i
-        # X local row 0 = image row tile*th - 2  (2 rows of conv/corr halo
-        # below the tile, 2 above; out pixels live at local rows [2, th+2))
-        p0 = (tile * th + pad_rows - 2) * w
-        qv = q32[:, pl.ds(p0, pt)]  # (C, pt) f32, zero outside the image
+        # ONE provably-128-aligned dynamic slab read per tile (Mosaic
+        # rejects unaligned dynamic-start lane reads); everything below is
+        # a STATIC slice of the slab values. X local row 0 = image row
+        # tile*th - 2 lives at static offset off_q within the slab.
+        base = pl.multiple_of(tile * (th * w), 128) + slab_lo
+        qslab = q32[:, pl.ds(base, slab_span)]
+        mslab = m32[:, pl.ds(base, slab_span)]
+        qv = qslab[:, off_q : off_q + pt]  # (C, pt) f32, zero off-image
         col = jax.lax.broadcasted_iota(jnp.int32, (1, pt), 1) % w
         sim_run = jnp.full((1, pt), -jnp.inf, f32)
         for dx in range(-radius, radius + 1):
             sh = dx * stride
             mask = ((col + sh >= 0) & (col + sh < w)).astype(f32)
             for dy in range(-radius, radius + 1):
-                mm = m32[:, pl.ds(p0 + stride * dy * w + sh, pt)]
+                o_ = off_q + stride * dy * w + sh
+                mm = mslab[:, o_ : o_ + pt]
                 acc = jnp.sum(qv * mm, axis=0, keepdims=True) * (scale * mask)
                 # round through the model dtype exactly as the shipped corr
                 # kernel does (the conv consumes bf16 corr values)
@@ -134,11 +162,14 @@ def _fused_kernel(
                 corr[kk] = acc[0]
                 sim_run = jnp.maximum(sim_run, acc)
         # sim map (max corr per out pixel) for the TB visualizer sow
-        simbuf[:, pl.ds(tile * th * w, th * w)] = sim_run[:, 2 * w : 2 * w + th * w]
+        tw0 = pl.multiple_of(tile * (th * w), 128)
+        simbuf[:, pl.ds(tw0, th * w)] = sim_run[:, 2 * w : 2 * w + th * w]
 
         # channels-last X via explicit 2D transposes (probe: cheap)
         xbuf[:, 0:c] = jnp.transpose(qv).astype(dtype)
-        xbuf[:, c : 2 * c] = jnp.transpose(m32[:, pl.ds(p0, pt)]).astype(dtype)
+        xbuf[:, c : 2 * c] = jnp.transpose(
+            mslab[:, off_q : off_q + pt]
+        ).astype(dtype)
         xbuf[:, 2 * c : 2 * c + corr.shape[0]] = jnp.transpose(corr[...]).astype(dtype)
 
         # fuse conv: one tap-widened matmul + 9 shifted adds
@@ -156,7 +187,7 @@ def _fused_kernel(
                 y = y + term
         # bf16 rounding point + bias match _NCHWConv (conv -> dtype, + bias)
         y_dt = y.astype(dtype) + cb_ref[0, :].astype(dtype)
-        ybuf[pl.ds(tile * th * w, th * w), :] = y_dt
+        ybuf[pl.ds(tw0, th * w), :] = y_dt
         yf = y_dt.astype(f32)
         stats[0:1, 0:f] = stats[0:1, 0:f] + jnp.sum(yf, axis=0, keepdims=True)
         stats[1:2, 0:f] = stats[1:2, 0:f] + jnp.sum(yf * yf, axis=0, keepdims=True)
@@ -178,13 +209,13 @@ def _fused_kernel(
 
     @pl.when(i >= n_tiles)
     def _():
-        j = i - n_tiles
-        yt = ybuf[pl.ds(j * th * w, th * w), :]
+        j0 = pl.multiple_of((i - n_tiles) * (th * w), 128)
+        yt = ybuf[pl.ds(j0, th * w), :]
         a = stats[2:3, 0:f].astype(dtype)
         bb = stats[3:4, 0:f].astype(dtype)
         out = yt * a + bb
         o_ref[0] = jnp.where(out >= 0, out, jnp.asarray(slope, dtype) * out)
-        sim_ref[0] = simbuf[0, pl.ds(j * th * w, th * w)]
+        sim_ref[0] = simbuf[0, pl.ds(j0, th * w)]
 
 
 def fused_skip_fuse_batched(
@@ -214,8 +245,15 @@ def fused_skip_fuse_batched(
     hw = h * wd
     th = _pick_tile(h, wd)
     n_tiles = h // th
-    pad_rows = _pad_rows_for(wd, radius, stride)
-    pall = (h + 2 * pad_rows) * wd
+    if not interpret:
+        # Mosaic alignment provability needs tile*(th*w) % 128 == 0 (see
+        # _layout); every SegFlow level geometry satisfies this
+        assert (th * wd) % 128 == 0, (
+            f"fused_cm needs th*W % 128 == 0, got th={th} W={wd}"
+        )
+    pad_rows, slab_lo, off_q, slab_span, pall = _layout(
+        h, wd, th, radius, stride
+    )
     pt = (th + 4) * wd
     k2pad = _round_up(k2, 8)  # corr rows padded to a sublane tile
     kpad = _round_up(2 * c + k2pad, 128)
@@ -232,7 +270,8 @@ def fused_skip_fuse_batched(
         _fused_kernel,
         c=c, h=h, w=wd, f=f, radius=radius, stride=stride, th=th,
         n_tiles=n_tiles, pad_rows=pad_rows, kpad=kpad, groups=groups,
-        eps=eps, slope=negative_slope,
+        eps=eps, slope=negative_slope, slab_lo=slab_lo, off_q=off_q,
+        slab_span=slab_span,
     )
     out, sim = pl.pallas_call(
         kernel,
