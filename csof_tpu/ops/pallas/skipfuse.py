@@ -195,17 +195,26 @@ def _fused_kernel(
     @pl.when(i == n_tiles)
     def _():
         # GroupNorm affine from the accumulated f32 stats — the exact math
-        # of models/blocks.py GroupNorm's bf16 fast path
+        # of models/blocks.py GroupNorm's bf16 fast path. The group
+        # combine runs as tiny indicator matmuls (Mosaic rejects the
+        # (1, F) -> (groups, F/groups) shape cast: "unsupported shape
+        # cast" on-chip); summing cpg channel entries then dividing is
+        # bit-identical to jnp.mean over the reshaped axis.
         cpg = f // groups
         mean_c = stats[0:1, 0:f] / hw  # (1, F)
         m2_c = stats[1:2, 0:f] / hw
-        mean_g = jnp.mean(mean_c.reshape(groups, cpg), axis=-1, keepdims=True)
-        m2_g = jnp.mean(m2_c.reshape(groups, cpg), axis=-1, keepdims=True)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (f, groups), 0) // cpg
+        gj = jax.lax.broadcasted_iota(jnp.int32, (f, groups), 1)
+        gsel = (gi == gj).astype(f32)  # (F, groups) channel->group indicator
+        mean_g = jnp.dot(mean_c, gsel, preferred_element_type=f32) / cpg
+        m2_g = jnp.dot(m2_c, gsel, preferred_element_type=f32) / cpg
         inv = jax.lax.rsqrt(jnp.maximum(m2_g - mean_g * mean_g, 0.0) + eps)
-        a = gs_ref[0, :].reshape(groups, cpg) * inv
-        bb = gb_ref[0, :].reshape(groups, cpg) - mean_g * a
-        stats[2:3, 0:f] = a.reshape(1, f)
-        stats[3:4, 0:f] = bb.reshape(1, f)
+        gselt = jnp.transpose(gsel)  # (groups, F) group->channel broadcast
+        inv_c = jnp.dot(inv, gselt, preferred_element_type=f32)  # (1, F)
+        meanb = jnp.dot(mean_g, gselt, preferred_element_type=f32)
+        a = gs_ref[0:1, :] * inv_c
+        stats[2:3, 0:f] = a
+        stats[3:4, 0:f] = gb_ref[0:1, :] - meanb * a
 
     @pl.when(i >= n_tiles)
     def _():
