@@ -223,7 +223,10 @@ def _fused_kernel(
         a = stats[2:3, 0:f].astype(dtype)
         bb = stats[3:4, 0:f].astype(dtype)
         out = yt * a + bb
-        o_ref[0] = jnp.where(out >= 0, out, jnp.asarray(slope, dtype) * out)
+        # predicate in f32: Mosaic rejects bf16 cmpf ("Target does not
+        # support this comparison"); the VALUES stay bf16 as in the model
+        pred = out.astype(f32) >= 0
+        o_ref[0] = jnp.where(pred, out, jnp.asarray(slope, dtype) * out)
         sim_ref[0] = simbuf[0, pl.ds(j0, th * w)]
 
 
