@@ -263,9 +263,9 @@ class SkipFuse(nn.Module):
     - fused_cm: the whole chain (correlation INCLUDED — the caller passes
       no corr) as one Pallas megakernel; same math and param tree as
       concat/concat_cm up to bf16 accumulation order. Called UNBATCHED
-      (C, H, W) channel-major; returns (fused, sim) where sim is the
-      per-pixel max correlation for the visualizer sow. Serving-only (no
-      VJP); see ops/pallas/skipfuse.py.
+      (C, H, W) channel-major. Serving-only (no VJP); the sim-map sow is
+      computed by the caller only when intermediates are collected. See
+      ops/pallas/skipfuse.py.
     """
 
     features: int
@@ -445,16 +445,26 @@ class SegFlowStep(nn.Module):
                 # the whole corr+concat+conv+norm+act chain as ONE Pallas
                 # megakernel per level (ops/pallas/skipfuse.py) — called
                 # UNBATCHED channel-major; the outer model vmap folds into
-                # the kernel's batch grid. Returns the fused features plus
-                # the sim map the sow below would otherwise compute.
-                out_l, sim_l = SkipFuse(
+                # the kernel's batch grid.
+                m_cm_f = jnp.moveaxis(m, -1, 0)
+                fused.append(SkipFuse(
                     q.shape[-1], mode="fused_cm", norm=cfg.norm, dtype=dtype,
                     radius=cfg.corr_radius[lvl], stride=cfg.corr_stride[lvl],
                     name=f"skip_fuse_{lvl}",
-                )(None, None, None, q_cmi=q_skips_cm[lvl],
-                  m_cmi=jnp.moveaxis(m, -1, 0))
-                fused.append(out_l)
-                self.sow("intermediates", f"sim_{lvl}", sim_l)
+                )(None, None, None, q_cmi=q_skips_cm[lvl], m_cmi=m_cm_f))
+                if self.is_mutable_collection("intermediates"):
+                    # sim-map observability only when something collects it
+                    # (TB visualizer); the serving path never pays for it
+                    corr_v = local_correlation_volume(
+                        q_skips_cm[lvl], m_cm_f,
+                        radius=cfg.corr_radius[lvl],
+                        stride=cfg.corr_stride[lvl],
+                        q_cm=True, out_cm=True, m_cm=True,
+                    )
+                    self.sow(
+                        "intermediates", f"sim_{lvl}",
+                        jnp.max(corr_v.astype(jnp.float32), axis=0),
+                    )
                 continue
             # concat_cm: ONE per-level m transpose, shared between the corr
             # kernel (m_cm=True skips its internal transpose) and the

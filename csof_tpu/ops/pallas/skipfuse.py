@@ -101,8 +101,8 @@ def _layout(h: int, w: int, th: int, radius: int, stride: int):
 
 def _fused_kernel(
     q_hbm, m_hbm, w_ref, cb_ref, gs_ref, gb_ref,  # inputs
-    o_ref, sim_ref,  # outputs
-    stage, q32, m32, corr, xbuf, ybuf, stats, simbuf, sems,  # scratch
+    o_ref,  # output
+    stage, q32, m32, corr, xbuf, ybuf, stats, sems,  # scratch
     *, c, h, w, f, radius, stride, th, n_tiles, pad_rows, kpad, groups,
     eps, slope, slab_lo, off_q, slab_span,
 ):
@@ -147,7 +147,6 @@ def _fused_kernel(
         mslab = m32[:, pl.ds(base, slab_span)]
         qv = qslab[:, off_q : off_q + pt]  # (C, pt) f32, zero off-image
         col = jax.lax.broadcasted_iota(jnp.int32, (1, pt), 1) % w
-        sim_run = jnp.full((1, pt), -jnp.inf, f32)
         for dx in range(-radius, radius + 1):
             sh = dx * stride
             mask = ((col + sh >= 0) & (col + sh < w)).astype(f32)
@@ -160,10 +159,7 @@ def _fused_kernel(
                 acc = acc.astype(dtype).astype(f32)
                 kk = (dy + radius) * k + (dx + radius)
                 corr[kk] = acc[0]
-                sim_run = jnp.maximum(sim_run, acc)
-        # sim map (max corr per out pixel) for the TB visualizer sow
         tw0 = pl.multiple_of(tile * (th * w), 128)
-        simbuf[:, pl.ds(tw0, th * w)] = sim_run[:, 2 * w : 2 * w + th * w]
 
         # channels-last X via explicit 2D transposes (probe: cheap)
         xbuf[:, 0:c] = jnp.transpose(qv).astype(dtype)
@@ -227,7 +223,6 @@ def _fused_kernel(
         # support this comparison"); the VALUES stay bf16 as in the model
         pred = out.astype(f32) >= 0
         o_ref[0] = jnp.where(pred, out, jnp.asarray(slope, dtype) * out)
-        sim_ref[0] = simbuf[0, pl.ds(j0, th * w)]
 
 
 def fused_skip_fuse_batched(
@@ -244,7 +239,7 @@ def fused_skip_fuse_batched(
     negative_slope: float = 0.01,
     interpret: bool = False,
 ):
-    """Returns (out (B, H, W, F) in the input dtype, sim (B, H, W) f32)."""
+    """Returns out (B, H, W, F) in the input dtype."""
     bsz, c, h, wd = q_cm.shape
     k2 = (2 * radius + 1) ** 2
     f = w.shape[-1]
@@ -285,12 +280,9 @@ def fused_skip_fuse_batched(
         eps=eps, slope=negative_slope, slab_lo=slab_lo, off_q=off_q,
         slab_span=slab_span,
     )
-    out, sim = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((bsz, hw, f), dtype),
-            jax.ShapeDtypeStruct((bsz, hw), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, hw, f), dtype),
         grid=(bsz, 2 * n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # q (B, C, HW) in HBM
@@ -301,17 +293,10 @@ def fused_skip_fuse_batched(
             pl.BlockSpec((1, f), lambda bb_, ii: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, f), lambda bb_, ii: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, th * wd, f),
-                lambda bb_, ii: (bb_, jnp.maximum(ii - n_tiles, 0), 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, th * wd),
-                lambda bb_, ii: (bb_, jnp.maximum(ii - n_tiles, 0)),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (1, th * wd, f),
+            lambda bb_, ii: (bb_, jnp.maximum(ii - n_tiles, 0), 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
             pltpu.VMEM((c, hw), dtype),  # stage (DMA landing)
@@ -321,7 +306,6 @@ def fused_skip_fuse_batched(
             pltpu.VMEM((pt, kpad), dtype),  # xbuf (channels-last concat)
             pltpu.VMEM((hw, f), dtype),  # ybuf (pre-norm conv out)
             pltpu.VMEM((4, _round_up(f, 128)), jnp.float32),  # stats + affine
-            pltpu.VMEM((1, hw), jnp.float32),  # sim map
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
@@ -332,7 +316,7 @@ def fused_skip_fuse_batched(
         gn_scale.astype(jnp.float32).reshape(1, f),
         gn_bias.astype(jnp.float32).reshape(1, f),
     )
-    return out.reshape(bsz, h, wd, f), sim.reshape(bsz, h, wd)
+    return out.reshape(bsz, h, wd, f)
 
 
 @functools.lru_cache(maxsize=None)
@@ -343,12 +327,12 @@ def _make_fused_fn(radius: int, stride: int, num_groups: int, interpret: bool):
 
     @jax.custom_batching.custom_vmap
     def fused(q_cm, m_cm, w, b, gs, gb):
-        out, sim = fused_skip_fuse_batched(
+        out = fused_skip_fuse_batched(
             q_cm[None], m_cm[None], w, b, gs, gb,
             radius=radius, stride=stride, num_groups=num_groups,
             interpret=interpret,
         )
-        return out[0], sim[0]
+        return out[0]
 
     @fused.def_vmap
     def _rule(axis_size, in_batched, q_cm, m_cm, w, b, gs, gb):
@@ -358,12 +342,12 @@ def _make_fused_fn(radius: int, stride: int, num_groups: int, interpret: bool):
             q_cm = jnp.broadcast_to(q_cm[None], (axis_size, *q_cm.shape))
         if not mb:
             m_cm = jnp.broadcast_to(m_cm[None], (axis_size, *m_cm.shape))
-        out, sim = fused_skip_fuse_batched(
+        out = fused_skip_fuse_batched(
             q_cm, m_cm, w, b, gs, gb,
             radius=radius, stride=stride, num_groups=num_groups,
             interpret=interpret,
         )
-        return (out, sim), (True, True)
+        return out, True
 
     return fused
 
@@ -372,7 +356,9 @@ def fused_skip_fuse(
     q_cm, m_cm, w, b, gn_scale, gn_bias, radius=4, stride=1, num_groups=8,
     interpret=False,
 ):
-    """Single-sample entry: q_cm/m_cm (C, H, W) -> (out (H, W, F), sim
-    (H, W) f32). Under jax.vmap this dispatches to the batch grid."""
+    """Single-sample entry: q_cm/m_cm (C, H, W) -> out (H, W, F). Under
+    jax.vmap this dispatches to the batch grid. The sim/visualizer map is
+    NOT produced here — SegFlowStep computes it via the regular corr path
+    only when the intermediates collection is mutable."""
     return _make_fused_fn(int(radius), int(stride), int(num_groups),
                           bool(interpret))(q_cm, m_cm, w, b, gn_scale, gn_bias)

@@ -44,12 +44,8 @@ def test_fused_matches_concat_cm(radius, stride):
     out_ref = ref.apply(params, q[None], m[None], corr[None], corr_cm=True,
                         q_cmi=q_cm[None], m_cmi=m_cm[None])[0]
 
-    out, sim = fused.apply(params, None, None, None, q_cmi=q_cm, m_cmi=m_cm)
+    out = fused.apply(params, None, None, None, q_cmi=q_cm, m_cmi=m_cm)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
-                               atol=2e-5, rtol=1e-4)
-    # sim = per-pixel max correlation
-    sim_ref = jnp.max(corr.astype(jnp.float32), axis=0)
-    np.testing.assert_allclose(np.asarray(sim), np.asarray(sim_ref),
                                atol=2e-5, rtol=1e-4)
 
 
@@ -65,7 +61,7 @@ def test_fused_matches_concat_cm_bf16():
     ref = SkipFuse(8, mode="concat_cm", dtype=jnp.bfloat16)
     out_ref = ref.apply(params, q[None], m[None], corr[None], corr_cm=True,
                         q_cmi=q_cm[None], m_cmi=m_cm[None])[0]
-    out, _ = fused.apply(params, None, None, None, q_cmi=q_cm, m_cmi=m_cm)
+    out = fused.apply(params, None, None, None, q_cmi=q_cm, m_cmi=m_cm)
     # bf16 accumulation-order differences only
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(out_ref, np.float32),
@@ -91,7 +87,7 @@ def test_fused_vmap_batches_via_grid():
     )(q_cm, m_cm)
     for i in range(b):
         np.testing.assert_allclose(
-            np.asarray(batched[0][i]), np.asarray(single[i][0]), atol=2e-5,
+            np.asarray(batched[i]), np.asarray(single[i]), atol=2e-5,
             rtol=1e-4,
         )
 
@@ -139,3 +135,26 @@ def test_segflow_fused_unrolled_temporal_path():
             np.asarray(out[k]), np.asarray(out_ref[k]), atol=5e-4, rtol=1e-3,
             err_msg=k,
         )
+
+
+def test_segflow_fused_sim_sow_matches():
+    """The fused path's gated sow (computed via the regular corr path only
+    when intermediates are mutable) equals the concat_cm sow."""
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.rand(2, 16, 16, 1).astype(np.float32))
+    kw = dict(
+        out_encoder_dims=(8, 16), d_model=16, bottleneck_heads=2,
+        dim_feedforward=32, corr_radius=(2, 2), corr_stride=(1, 1),
+        dtype="float32",
+    )
+    ref_model = SegFlow(cfg=SegFlowModelConfig(corr_fuse="concat_cm", **kw))
+    params = ref_model.init(jax.random.PRNGKey(0), video)
+    _, inter_ref = ref_model.apply(params, video, mutable=["intermediates"])
+    fused_model = SegFlow(cfg=SegFlowModelConfig(corr_fuse="fused_cm", **kw))
+    _, inter = fused_model.apply(params, video, mutable=["intermediates"])
+    ref_leaves = jax.tree_util.tree_leaves(inter_ref)
+    leaves = jax.tree_util.tree_leaves(inter)
+    assert len(ref_leaves) == len(leaves) and leaves
+    for a, b in zip(leaves, ref_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
