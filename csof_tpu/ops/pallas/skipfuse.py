@@ -58,8 +58,16 @@ def _round_up(x: int, m: int) -> int:
 
 def _pick_tile(h: int, w: int) -> int:
     """Row-tile: ~2048 out-lanes per tile, dividing H, multiple of 8/w'ness
-    not required (lane offsets handle it); small levels take the whole H."""
-    th = max(1, min(h, 2048 // w))
+    not required (lane offsets handle it); small levels take the whole H.
+    CSOF_FUSE_TILE overrides the lane target (VMEM/perf tuning knob)."""
+    import os
+
+    # W>=128 levels default to 1024 out-lanes/tile: the th=16 (2560-lane
+    # X window) level-0 kernel reproducibly kills the remote compile
+    # helper (exit 1, no diagnostic) while th=8 compiles and runs
+    default = 1024 if w >= 128 else 2048
+    target = int(os.environ.get("CSOF_FUSE_TILE", str(default)))
+    th = max(1, min(h, target // w))
     while h % th:
         th -= 1
     return th

@@ -75,6 +75,12 @@ SWEEPS = {
         ("fused_b8", {"scan_unroll": 12, "corr_fuse": "fused_cm"},
          dict(batch=8, draws=3)),
     ],
+    # single-draw first look (fused compiles are ~20 min each on the
+    # remote helper; the 3-draw head-to-head comes after it's worth it)
+    "r5fused1": [
+        ("fused_b8", {"scan_unroll": 12, "corr_fuse": "fused_cm"},
+         dict(batch=8, draws=1, reps=10)),
+    ],
     # megakernel batch scaling (the per-op floor amortizes differently)
     "r5fuse_batch": [
         ("fused_b8", {"scan_unroll": 12, "corr_fuse": "fused_cm"},

@@ -51,7 +51,7 @@ def probe_level(lvl: int):
             out = None
             for _ in range(r):
                 qq = q if out is None else q * (1 + out[0, 0, 0, 0].astype(jnp.bfloat16) * 1e-8)
-                out, _sim = jax.vmap(
+                out = jax.vmap(
                     lambda a_, b_: fused_skip_fuse(
                         a_, b_, wk, cb, gs, gb, radius=radius, stride=stride
                     )
