@@ -24,11 +24,12 @@ from __future__ import annotations
 import dataclasses
 import os
 
-#: corr_fuse remaps that are exact-math + param-path-identical (see
-#: models/segflow.py SkipFuse: concat_cm shares ConvNormAct_0/Conv_0 with
-#: concat). Modes with different param trees (split/project/mean1) are
-#: never remapped.
-SERVING_CORR_FUSE = {"concat": "concat_cm"}
+#: corr_fuse remaps that are same-math + param-path-identical (see
+#: models/segflow.py SkipFuse: fused_cm/concat_cm share ConvNormAct_0/
+#: Conv_0 + GroupNorm_0 with concat; fused_cm differs only in bf16
+#: accumulation order). Modes with different param trees
+#: (split/project/mean1) are never remapped.
+SERVING_CORR_FUSE = {"concat": "fused_cm", "concat_cm": "fused_cm"}
 
 
 def serving_kwargs(t: int) -> dict:
@@ -36,11 +37,12 @@ def serving_kwargs(t: int) -> dict:
 
     `scan_unroll == t` fully unrolls the temporal body (one while trip
     carrying the straight-line T-step program; docs/BENCHMARKS.md round 3:
-    1459-1484 vs 1271 f/s rolled at B=8). `concat_cm` is the round-4
-    channel-major concat fuse (+3.9% over concat, exact same math/params).
-    bench.py applies these as defaults for the driver measurement.
+    1459-1484 vs 1271 f/s rolled at B=8). `fused_cm` is the round-5
+    corr+fuse Pallas megakernel (r5fuse sweep: 1738.0 vs concat_cm's
+    1568.3 f/s same-day, +10.8%; ops/pallas/skipfuse.py). bench.py applies
+    these as defaults for the driver measurement.
     """
-    return {"scan_unroll": int(t), "corr_fuse": "concat_cm"}
+    return {"scan_unroll": int(t), "corr_fuse": "fused_cm"}
 
 
 def apply_serving_config(cfg, t: int | None = None):

@@ -34,7 +34,7 @@ def test_cli_serving_config_equals_bench_config():
     for t in (6, 12, 25):
         cli_cfg = apply_serving_config(trained, t=None)  # CLI: T unknown
         bench_cfg = SegFlowModelConfig(**serving_kwargs(t))
-        assert cli_cfg.corr_fuse == bench_cfg.corr_fuse == "concat_cm"
+        assert cli_cfg.corr_fuse == bench_cfg.corr_fuse == "fused_cm"
         assert _effective_unroll(cli_cfg, t) == _effective_unroll(bench_cfg, t) == t
         # everything else untouched by the remap
         for f in dataclasses.fields(trained):
@@ -72,10 +72,13 @@ def test_serving_remap_is_param_compatible_only(monkeypatch):
     the env opt-outs are honored."""
     monkeypatch.delenv("CSOF_INFER_UNROLL", raising=False)
     monkeypatch.delenv("CSOF_SERVE_FUSE", raising=False)
-    for mode in ("split", "project", "mean1", "concat_cm"):
-        assert mode not in SERVING_CORR_FUSE
+    for mode in ("split", "project", "mean1", "fused_cm"):
         cfg = SegFlowModelConfig(corr_fuse=mode)
-        assert apply_serving_config(cfg, t=12).corr_fuse == mode
+        expect = SERVING_CORR_FUSE.get(mode, mode)
+        assert apply_serving_config(cfg, t=12).corr_fuse == expect
+    # never remap the param-INCOMPATIBLE modes
+    for mode in ("split", "project", "mean1"):
+        assert mode not in SERVING_CORR_FUSE
 
     monkeypatch.setenv("CSOF_SERVE_FUSE", "0")
     assert apply_serving_config(SegFlowModelConfig(), t=12).corr_fuse == "concat"
