@@ -181,6 +181,14 @@ class RaftModelConfig:
     context_dim: int = 128
     feature_dim: int = 256
     dtype: str = "bfloat16"
+    #: lax.scan unroll factor for the GRU refinement loop. At 1/8-res
+    #: serving geometry (28² for 224² inputs) every op in the update block
+    #: is far below the measured 75-90 us/kernel dispatch floor of this
+    #: backend, so the 12-iteration loop is kernel-count bound exactly like
+    #: the SegFlow temporal scan (docs/BENCHMARKS.md round 4); unrolling
+    #: lets XLA fuse across iterations. iters % unroll must be 0; params
+    #: are identical for any value (nn.scan is a lifted transform).
+    scan_unroll: int = 1
 
 
 @dataclass(frozen=True)

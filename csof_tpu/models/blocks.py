@@ -31,17 +31,26 @@ class InstanceNorm(nn.Module):
     eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
     fused_leaky_relu: bool = False
+    #: >1 = channels are space-to-depth packed BLOCK-MAJOR (ops/s2d_conv.py:
+    #: packed channel = block*C + c, packed_blocks spatial phases per
+    #: logical channel). Statistics then reduce over spatial dims AND the
+    #: phase blocks — per LOGICAL channel, exactly what the unpacked norm
+    #: computes — and the (C,) scale/bias params are unchanged, so
+    #: checkpoints transfer between packed and unpacked stages.
+    packed_blocks: int = 1
 
     @nn.compact
     def __call__(self, x):
         # x: (N, *spatial, C); statistics in fp32 even for bf16 activations
-        c = x.shape[-1]
+        c = x.shape[-1] // self.packed_blocks
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         if self.fused_leaky_relu:
             from csof_tpu.ops.pallas.norm_act import instance_norm_leaky_relu_pallas
 
             return instance_norm_leaky_relu_pallas(x, scale, bias)
+        if self.packed_blocks > 1:
+            return self._packed(x, scale, bias)
         axes = tuple(range(1, x.ndim - 1))
         if x.dtype == jnp.bfloat16:
             # bf16 fast path: f32 ACCUMULATION without f32 MATERIALIZATION.
@@ -71,6 +80,30 @@ class InstanceNorm(nn.Module):
         var = jnp.var(xf, axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
         return (y * scale + bias).astype(x.dtype)
+
+    def _packed(self, x, scale, bias):
+        """InstanceNorm on a space-to-depth packed tensor: per-LOGICAL-channel
+        stats over (spatial, phase blocks); same flat-stat formulation and
+        bf16 discipline as the unpacked fast path above."""
+        blocks = self.packed_blocks
+        n = x.shape[0]
+        c = x.shape[-1] // blocks
+        sp_axes = tuple(range(1, x.ndim - 1))
+        # flat (N, blocks*C) spatial sums, then combine blocks on the tiny
+        # stat tensor (same rationale as GroupNorm's fast path below)
+        s1 = jnp.mean(x, axis=sp_axes, dtype=jnp.float32)
+        s2 = jnp.mean(jnp.square(x), axis=sp_axes, dtype=jnp.float32)
+        mean = jnp.mean(s1.reshape(n, blocks, c), axis=1)  # (N, C)
+        m2 = jnp.mean(s2.reshape(n, blocks, c), axis=1)
+        inv = jax.lax.rsqrt(jnp.maximum(m2 - mean * mean, 0.0) + self.eps)
+        a = scale * inv  # (N, C)
+        b = bias - mean * a
+        # block-major packed channels: tiling the (N, C) coeffs `blocks`
+        # times lands coefficient c at every packed index block*C + c
+        a4 = jnp.tile(a, (1, blocks)).astype(x.dtype)
+        b4 = jnp.tile(b, (1, blocks)).astype(x.dtype)
+        bshape = (n,) + (1,) * (x.ndim - 2) + (blocks * c,)
+        return x * a4.reshape(bshape) + b4.reshape(bshape)
 
 
 class GroupNorm(nn.Module):
@@ -160,6 +193,12 @@ class Conv3dVia2D(nn.Module):
     dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
+    #: input/output are space-to-depth packed in (H, W) — (N, D, H/2, W/2,
+    #: 4C) block-major (ops/s2d_conv.py). Requires ky=kx=3, sy=sx=1, SAME
+    #: padding; the z axis is handled by the usual tap loop. The parameter
+    #: stays the LOGICAL (kz,3,3,ci,co) kernel (packed at trace time), so
+    #: checkpoints transfer between packed and unpacked stages.
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -170,7 +209,12 @@ class Conv3dVia2D(nn.Module):
             if self.padding is None
             else [tuple(p) for p in self.padding]
         )
-        ci = x.shape[-1]
+        if self.packed_io:
+            assert (ky, kx) == (3, 3) and (sy, sx) == (1, 1), (
+                "packed_io requires a stride-1 3x3 spatial kernel"
+            )
+            assert pads[1] == (1, 1) and pads[2] == (1, 1), pads
+        ci = x.shape[-1] // (4 if self.packed_io else 1)
         w = self.param(
             "kernel", self.kernel_init, (kz, ky, kx, ci, self.features), jnp.float32
         )
@@ -190,7 +234,8 @@ class Conv3dVia2D(nn.Module):
         # narrow-Cout inner convs can run lane-full in the tap-sum form
         # (ops/tapsum_conv.py) — the 3D-fullres C=32 plateau breaker
         tapsum = (
-            (sy, sx) == (1, 1)
+            not self.packed_io
+            and (sy, sx) == (1, 1)
             and _conv2d_tapsum_enabled((ky, kx), ci, self.features)
         )
         # ... or in the Pallas cols kernel (ops/pallas/conv.py): the
@@ -198,6 +243,7 @@ class Conv3dVia2D(nn.Module):
         # round trip for the widened intermediate (CSOF_CONV2D_IMPL=pallas)
         pallas_cols = (
             not tapsum
+            and not self.packed_io
             and pads[1] == ((ky - 1) // 2, ky // 2)
             and pads[2] == ((kx - 1) // 2, kx // 2)
             and _conv2d_pallas_enabled((ky, kx), (sy, sx), ci, self.features, wd)
@@ -207,8 +253,15 @@ class Conv3dVia2D(nn.Module):
             xs = jax.lax.slice_in_dim(x, dz, dz + (d_out - 1) * sz + 1, 1, axis=1)
             if sz > 1:
                 xs = xs[:, ::sz]
-            xs = xs.reshape(n * d_out, h, wd, ci)
-            if pallas_cols:
+            xs = xs.reshape(n * d_out, h, wd, xs.shape[-1])
+            if self.packed_io:
+                from csof_tpu.ops.s2d_conv import conv2d_s2d_packed
+
+                # packed k=2 conv: full 128-lane contraction AND output
+                # tiles for the C=32 stages (the 1.8x-under-grad winner of
+                # the round-5 s2d decision probes, docs/BENCHMARKS.md)
+                yz = conv2d_s2d_packed(xs, w[dz], acc_t == jnp.float32)
+            elif pallas_cols:
                 from csof_tpu.ops.pallas.conv import conv3x3_cols_vb
 
                 # interpret mode off-TPU so CPU tests exercise the same path
@@ -241,6 +294,10 @@ class Conv3dVia2D(nn.Module):
         y = y.astype(self.dtype).reshape(n, d_out, *y.shape[1:])
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
+            if self.packed_io:
+                # block-major packed channels: repeat the logical bias once
+                # per phase block (packed index = block*co + o)
+                bias = jnp.tile(bias, 4)
             y = y + bias.astype(self.dtype)
         return y
 
@@ -249,6 +306,12 @@ def _conv3d_via_2d_enabled() -> bool:
     import os
 
     return os.environ.get("CSOF_CONV3D_IMPL", "2d") == "2d"
+
+
+def _unet_s2d_enabled() -> bool:
+    import os
+
+    return os.environ.get("CSOF_UNET_S2D", "0") == "1"
 
 
 def _conv2d_tapsum_enabled(kernel_size, ci: int, co: int) -> bool:
@@ -348,6 +411,9 @@ class ConvNormAct(nn.Module):
     norm: str = "instance"
     act: Callable = leaky_relu
     dtype: jnp.dtype = jnp.float32
+    #: space-to-depth packed input/output (set by StackedConvs when the
+    #: whole stage runs packed; 3D via-2D convs + instance norm only)
+    packed_io: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -359,6 +425,24 @@ class ConvNormAct(nn.Module):
             ((k - 1) // 2, k // 2)
             for k in self.kernel_size
         ]
+        if self.packed_io:
+            assert len(self.kernel_size) == 3 and _conv3d_via_2d_enabled()
+            assert self.strides is None or tuple(self.strides) == (1, 1, 1)
+            assert self.norm == "instance"
+            x = Conv3dVia2D(
+                self.features,
+                kernel_size=tuple(self.kernel_size),
+                padding=pad,
+                dtype=self.dtype,
+                kernel_init=nn.initializers.he_normal(),
+                packed_io=True,
+                name="Conv_0",
+            )(x)
+            from jax.ad_checkpoint import checkpoint_name
+
+            x = checkpoint_name(x, "conv_out")
+            x = InstanceNorm(packed_blocks=4, name="InstanceNorm_0")(x)
+            return self.act(x)
         if len(self.kernel_size) == 3 and _conv3d_via_2d_enabled():
             # 3D convs recast as z-shifted batched 2D convs (see
             # Conv3dVia2D): exact same math/params, 3-7.5x faster on TPU.
@@ -454,6 +538,27 @@ class StackedConvs(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Space-to-depth packed stage (CSOF_UNET_S2D=1): the narrow-channel
+        # full-res 3D stages run their whole conv stack on the (H/2, W/2,
+        # 4C) packed grid — the stride-1 3x3 C=32 via-2D conv is MXU-tile
+        # bound at 29 TF/s unpacked vs 52 useful packed under grad (round-5
+        # decision probes, docs/BENCHMARKS.md). Pack/unpack cost is paid
+        # once per stage, not per conv; params are identical either way.
+        s2d = (
+            _unet_s2d_enabled()
+            and len(self.kernel_size) == 3
+            and tuple(self.kernel_size[1:]) == (3, 3)
+            and self.first_stride is None
+            and self.features <= 48
+            and self.norm == "instance"
+            and x.shape[-3] % 2 == 0
+            and x.shape[-2] % 2 == 0
+            and _conv3d_via_2d_enabled()
+        )
+        if s2d:
+            from csof_tpu.ops.s2d_conv import depth_to_space, space_to_depth
+
+            x = space_to_depth(x)
         for i in range(self.num_convs):
             x = ConvNormAct(
                 self.features,
@@ -461,7 +566,10 @@ class StackedConvs(nn.Module):
                 strides=self.first_stride if i == 0 else None,
                 norm=self.norm,
                 dtype=self.dtype,
+                packed_io=s2d,
             )(x)
+        if s2d:
+            x = depth_to_space(x)
         return x
 
 

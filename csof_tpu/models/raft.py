@@ -147,6 +147,11 @@ class RAFT(nn.Module):
             in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=iters,
+            # serving lever (cfg.scan_unroll): the update block's ops at
+            # 1/8-res geometry all sit below the per-kernel dispatch floor,
+            # so the rolled loop pays ~12x the floor; unrolling lets XLA
+            # fuse across iterations. Params identical for any value.
+            unroll=min(cfg.scan_unroll, iters),
         )(hidden_dim=cfg.hidden_dim, corr_radius=cfg.corr_radius, dtype=dtype)
         init = (hidden, jnp.zeros((h8, w8, 2), jnp.float32))
         _, flows_up = scan(init, tuple(pyramid), context, coords0, None)

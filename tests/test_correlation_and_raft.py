@@ -104,3 +104,24 @@ def test_raft_forward_shapes():
     flows = model.apply(params, x1, x2)
     assert flows.shape == (2, 32, 32, 2)
     assert np.isfinite(np.asarray(flows)).all()
+
+
+@pytest.mark.slow
+def test_raft_scan_unroll_parity():
+    """cfg.scan_unroll is a pure serving lever: identical params and
+    bit-identical outputs for any unroll factor (nn.scan lifted transform)."""
+    kw = dict(iters=4, corr_levels=2, corr_radius=2, hidden_dim=32,
+              context_dim=32, feature_dim=32, dtype="float32")
+    rolled = RAFT(RaftModelConfig(**kw))
+    unrolled = RAFT(RaftModelConfig(**kw, scan_unroll=4))
+    x1 = jnp.asarray(np.random.RandomState(0).rand(32, 32, 1), jnp.float32)
+    x2 = jnp.asarray(np.random.RandomState(1).rand(32, 32, 1), jnp.float32)
+    params = rolled.init(jax.random.PRNGKey(0), x1, x2)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        unrolled.init(jax.random.PRNGKey(0), x1, x2)
+    )
+    np.testing.assert_allclose(
+        np.asarray(unrolled.apply(params, x1, x2)),
+        np.asarray(rolled.apply(params, x1, x2)),
+        atol=1e-5,
+    )
